@@ -1,0 +1,215 @@
+"""Typed experiment configuration.
+
+The reference framework uses `easydict` modules mutated at runtime
+(ref:scripts/config/kitti_3d_base.py, ref:lib/core.py:36-46). Here the same
+knobs — same names, same defaults — live on a dataclass so they are
+introspectable and serializable, while still allowing the runtime injection
+the reference relies on (anchors / bbox whitening stats are computed from the
+training set and written back onto the config: ref:lib/rpn_util.py:164,888-889).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class Config:
+    # ---------------------------------------------------------------- general
+    model: str = "m3d_rpn_align"
+    ida_dcnv2: bool = True            # deformable proj/node convs in IDAUp
+    attention: Optional[str] = None   # None | "ANAB"
+
+    # feature alignment (ref:model/module/feturealign_mgpu.py)
+    center_align: bool = False
+    shape_align: bool = False
+
+    # ----------------------------------------------------------------- solver
+    solver_type: str = "sgd"          # sgd | adam | adamax
+    lr: float = 0.004
+    momentum: float = 0.9
+    weight_decay: float = 0.0005
+    max_epoch: int = 70
+    warmup: float = 1.0 / 70          # fraction of total iters for linear warmup
+    eval_epoch: int = 10
+    snapshot_epoch: int = 5
+    display_iter: int = 25            # ref divides 100 by batch_size=4
+    do_test: bool = True
+
+    lr_policy: str = "cos"            # cos | poly | step
+    lr_steps: Optional[List[float]] = None
+    lr_target: float = 0.004 * 1e-5
+
+    # gradient accumulation: apply optimizer update every `batch_skip` steps
+    # (ref:lib/core.py:116, scripts/train_rpn_3d.py:216-218)
+    batch_skip: int = 1
+
+    # ----------------------------------------------------------------- random
+    rng_seed: int = 2
+
+    # ----------------------------------------------------------------- network
+    image_means: List[float] = field(default_factory=lambda: [0.485, 0.456, 0.406])
+    image_stds: List[float] = field(default_factory=lambda: [0.229, 0.224, 0.225])
+    feat_stride: int = 8
+    back_bone: str = "dla102"
+    pre_train: bool = True
+    has_3d: bool = True
+
+    # compute dtype for the network under jit ("bfloat16" | "float32")
+    compute_dtype: str = "bfloat16"
+
+    # ------------------------------------------------------- sampling/dataset
+    test_scale: List[int] = field(default_factory=lambda: [384, 1280])
+    crop_size: List[int] = field(default_factory=lambda: [384, 1280])
+    mirror_prob: float = 0.50
+    trans_prob: float = 0.7
+    distort_prob: float = -1.0
+    shift: float = 0.1
+    scale_trans: float = 0.4
+
+    datasets_train: List[Dict[str, Any]] = field(default_factory=lambda: [
+        {"name": "kitti_split1", "anno_fmt": "kitti_det", "im_ext": ".png", "scale": 1}])
+    datasets_validation: List[Dict[str, Any]] = field(default_factory=lambda: [
+        {"name": "kitti_split1", "anno_fmt": "kitti_det", "im_ext": ".png", "scale": 1}])
+    datasets_test: List[Dict[str, Any]] = field(default_factory=lambda: [
+        {"name": "kitti_split1", "anno_fmt": "kitti_det", "im_ext": ".png", "scale": 1}])
+    use_3d_for_2d: bool = True
+    num_workers: int = 8
+
+    percent_anc_h: List[float] = field(default_factory=lambda: [0.0625, 0.75])
+
+    min_gt_vis: float = 0.65
+    ilbls: List[str] = field(default_factory=lambda: ["Van", "ignore"])
+    lbls: List[str] = field(default_factory=lambda: ["Car", "Pedestrian", "Cyclist"])
+
+    # --------------------------------------------------------------- det sampling
+    batch_size: int = 4
+    fg_image_ratio: float = 1.0
+    box_samples: float = 0.20
+    fg_fraction: float = 0.20
+    bg_thresh_lo: float = 0.0
+    bg_thresh_hi: float = 0.5
+    fg_thresh: float = 0.5
+    ign_thresh: float = 0.5
+    best_thresh: float = 0.35
+
+    # --------------------------------------------------------------- inference
+    nms_topN_pre: int = 3000
+    nms_topN_post: int = 40
+    nms_thres: float = 0.4
+    clip_boxes: bool = False
+    score_thres: float = 0.75
+
+    test_protocol: str = "kitti"
+    test_db: str = "kitti"
+
+    # ----------------------------------------------------------------- anchors
+    cluster_anchors: int = 0
+    even_anchors: int = 0
+    expand_anchors: int = 0
+
+    anchor_ratios: List[float] = field(default_factory=lambda: [0.5, 1.0, 1.5])
+    num_anchor_scales: int = 12
+
+    # runtime-injected (computed from the training imdb, cached with the run)
+    anchors: Optional[np.ndarray] = None          # [A, 9]: x1,y1,x2,y2,z,w3,h3,l3,ry
+    bbox_means: Optional[np.ndarray] = None       # [1, 11]
+    bbox_stds: Optional[np.ndarray] = None        # [1, 11]
+
+    # ------------------------------------------------------------------- loss
+    hard_negatives: bool = True
+    focal_loss: float = 0.0
+    cls_2d_lambda: float = 1.0
+    iou_2d_lambda: float = 1.0
+    bbox_2d_lambda: float = 0.0
+    bbox_3d_lambda: float = 1.0
+    bbox_3d_proj_lambda: float = 0.0
+    bbox_3d_iou_lambda: float = 0.0
+    pre_compute_target: bool = True
+
+    hill_climbing: bool = True
+    bins: int = 32
+
+    pretrained: Optional[str] = None
+
+    # ---------------------------------------------------------------- parallel
+    # data-parallel mesh size; -1 means "all local devices"
+    dp_devices: int = -1
+
+    # ------------------------------------------------------------- derived
+    @property
+    def min_gt_h(self) -> float:
+        return self.test_scale[0] * self.percent_anc_h[0]
+
+    @property
+    def max_gt_h(self) -> float:
+        return self.test_scale[0] * self.percent_anc_h[1]
+
+    @property
+    def anchor_scales(self) -> np.ndarray:
+        """Geometric anchor height ladder (ref:scripts/config/kitti_3d_base.py:130-131)."""
+        n = self.num_anchor_scales
+        base = (self.max_gt_h / self.min_gt_h) ** (1.0 / (n - 1))
+        return np.array([self.min_gt_h * (base ** i) for i in range(n)])
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.lbls) + 1
+
+    @property
+    def feat_size(self) -> List[int]:
+        return [int(np.ceil(s / self.feat_stride)) for s in self.crop_size]
+
+    # ------------------------------------------------------------- (de)serialize
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(path: str) -> "Config":
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+# ----------------------------------------------------------------------------
+# Named configs mirroring the reference's three experiment files.
+# ----------------------------------------------------------------------------
+
+def kitti_3d_base(**kw) -> Config:
+    """ref:scripts/config/kitti_3d_base.py — no attention, no alignment."""
+    return Config(**kw)
+
+
+def kitti_3d_anab(**kw) -> Config:
+    """ref:scripts/config/kitti_3d_anab.py — ANAB depth attention, lr 0.002."""
+    cfg = Config(attention="ANAB", lr=0.002, lr_target=0.002 * 1e-5, eval_epoch=20)
+    return cfg.replace(**kw) if kw else cfg
+
+
+def kitti_3d_anab_fullalign(**kw) -> Config:
+    """ref:scripts/config/kitti_3d_anab_fullalign.py — ANAB + shape/center align."""
+    cfg = Config(attention="ANAB", center_align=True, shape_align=True,
+                 lr=0.002, lr_target=0.002 * 1e-5, eval_epoch=20)
+    return cfg.replace(**kw) if kw else cfg
+
+
+CONFIGS = {
+    "kitti_3d_base": kitti_3d_base,
+    "kitti_3d_anab": kitti_3d_anab,
+    "kitti_3d_anab_fullalign": kitti_3d_anab_fullalign,
+}
+
+
+def load_config(name: str, **kw) -> Config:
+    """Load a named config (ref:lib/core.py:36-46 loads via importlib)."""
+    if name not in CONFIGS:
+        raise KeyError(f"unknown config '{name}'; have {sorted(CONFIGS)}")
+    return CONFIGS[name](**kw)

@@ -1,0 +1,120 @@
+"""Host input pipeline: weighted sampling + multi-threaded prefetch batching.
+
+TPU-native replacement for the reference's torch DataLoader + worker-process
+target computation (ref:lib/dataloader.py:894-906). Per-sample work (decode,
+augment, anchor target assignment) runs in a thread pool — the heavy pieces
+(cv2 warp, numpy IoU matmuls) release the GIL — and finished fixed-shape
+batches are staged in a bounded queue so host prep overlaps device steps.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .. import geometry as geo
+
+
+def balance_samples(conf, imdb) -> np.ndarray:
+    """Image sampling weights by fg/empty status (ref:lib/imdb_util.py:563-613)."""
+    weights = np.ones(len(imdb))
+    if conf.fg_image_ratio >= 0:
+        valid_inds, empty_inds = [], []
+        for i, imobj in enumerate(imdb):
+            scale = conf.test_scale[0] / imobj.imH
+            igns, rmvs = geo.determine_ignores(imobj.gts, conf.lbls, conf.ilbls,
+                                               conf.min_gt_vis, conf.min_gt_h,
+                                               conf.max_gt_h, scale)
+            valid = int(((~igns) & (~rmvs)).sum())
+            weights[i] = valid
+            (valid_inds if valid > 0 else empty_inds).append(i)
+        if conf.fg_image_ratio != 2:
+            if valid_inds:
+                weights[valid_inds] = len(imdb) * conf.fg_image_ratio / len(valid_inds)
+            if empty_inds:
+                weights[empty_inds] = len(imdb) * (1 - conf.fg_image_ratio) / len(empty_inds)
+    s = weights.sum()
+    if s <= 0:
+        weights[:] = 1.0 / len(weights)
+    else:
+        weights /= s
+    return weights
+
+
+def collate(samples) -> Dict[str, np.ndarray]:
+    """Stack per-image sample dicts into fixed-shape batch arrays.
+
+    Output keys match what the jitted train step consumes:
+      images [B,H,W,3] f32; labels [B,N] i32; labels_fg/bg/ign [B,N] i8;
+      bbox_2d [B,N,4] f32; bbox_3d [B,N,7] f32; any_val [B] i32.
+    """
+    batch = {"images": np.stack([s["input"] for s in samples], axis=0)}
+    if "target" in samples[0]:
+        t0 = samples[0]["target"]
+        for k in t0:
+            batch[k] = np.stack([np.asarray(s["target"][k]) for s in samples], axis=0)
+    return batch
+
+
+class TrainLoader:
+    """Weighted-random, threaded, prefetching batch iterator."""
+
+    def __init__(self, dataset, batch_size: int, num_workers: int = 8,
+                 seed: int = 0, prefetch: int = 4,
+                 weights: Optional[np.ndarray] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.weights = weights if weights is not None else balance_samples(
+            dataset.conf, dataset.imdb)
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.steps_per_epoch = max(1, len(dataset) // batch_size)
+
+    def _sample_indices(self) -> np.ndarray:
+        return self.rng.choice(len(self.dataset), size=self.batch_size,
+                               replace=True, p=self.weights)
+
+    def batches(self, num_steps: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield `num_steps` batches with background prefetch."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for _ in range(num_steps):
+                    if stop.is_set():
+                        return
+                    idx = self._sample_indices()
+                    samples = list(pool.map(self.dataset.__getitem__, idx))
+                    q.put(collate(samples))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            for _ in range(num_steps):
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+class EvalLoader:
+    """Sequential bs=1 iterator over a validation/test dataset."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __iter__(self):
+        for i in range(len(self.dataset)):
+            yield self.dataset[i]

@@ -1,0 +1,137 @@
+"""Data layer tests: parsers, augmentation consistency, loader."""
+
+import numpy as np
+import pytest
+
+from m3dssd_tpu import geometry as geo
+from m3dssd_tpu.data.kitti import (Kitti3DDataset, build_imdb, read_kitti_cal,
+                                   read_kitti_label)
+from m3dssd_tpu.data.augment import RandomMirror, RandomTransform
+from m3dssd_tpu.data.loader import TrainLoader, balance_samples
+from m3dssd_tpu.data.synthetic import scaled_p2
+
+
+def test_read_kitti_cal(synthetic_kitti):
+    import glob
+    import os
+    cal = sorted(glob.glob(os.path.join(
+        synthetic_kitti, "kitti_split1", "training", "calib", "*.txt")))[0]
+    p2 = read_kitti_cal(cal)
+    np.testing.assert_allclose(p2, scaled_p2(624 / 1242.0), rtol=1e-6)
+
+
+def test_read_kitti_label_consistency(synthetic_kitti):
+    import glob
+    import os
+    labels = sorted(glob.glob(os.path.join(
+        synthetic_kitti, "kitti_split1", "training", "label_2", "*.txt")))
+    n_checked = 0
+    for lab in labels:
+        cal = lab.replace("label_2", "calib")
+        p2 = read_kitti_cal(cal)
+        gts = read_kitti_label(lab, p2, use_3d_for_2d=True)
+        for gt in gts:
+            # projected 3D center must be inside the (3D-derived) 2D box
+            x1, y1, w, h = gt.bbox_full
+            cx, cy = gt.bbox_3d[0], gt.bbox_3d[1]
+            assert x1 - 1 <= cx <= x1 + w + 1
+            assert y1 - 1 <= cy <= y1 + h + 1
+            # alpha consistent with rotY and position
+            alpha = geo.convert_rot_to_alpha(gt.rotY, gt.bbox_3d[9], gt.bbox_3d[7])
+            assert abs(float(geo.snap_to_pi(alpha - gt.alpha))) < 1e-6
+            n_checked += 1
+    assert n_checked > 0
+
+
+def _mirror_consistency(gt, p2, p2_inv, W):
+    """After mirroring, re-projecting the back-projected 3D center must land
+    on the mirrored 2D center."""
+    cx, cy, cz = gt.bbox_3d[0], gt.bbox_3d[1], gt.bbox_3d[2]
+    c3d = p2_inv @ np.array([cx * cz, cy * cz, cz, 1.0])
+    reproj = p2 @ c3d
+    np.testing.assert_allclose(reproj[0] / reproj[2], cx, atol=1e-6)
+
+
+def test_random_mirror_geometry(synthetic_kitti, tiny_conf):
+    imdb = build_imdb(tiny_conf, synthetic_kitti, "train")
+    imobj = None
+    for o in imdb:
+        if len(o.gts) > 0:
+            imobj = o
+            break
+    import copy
+    imobj = copy.deepcopy(imobj)
+    im = np.zeros([imobj.imH, imobj.imW, 3], np.float32)
+
+    rng = np.random.RandomState(0)
+    m = RandomMirror(mirror_prob=1.1, rng=rng)
+    before = copy.deepcopy(imobj.gts)
+    im2, imobj = m(im, imobj)
+    for b, a in zip(before, imobj.gts):
+        # x mirrored
+        assert abs((imobj.imW - b.bbox_3d[0] - 1) - a.bbox_3d[0]) < 1e-9
+        # alpha/rotY stay consistent with each other
+        _mirror_consistency(a, imobj.p2, imobj.p2_inv, imobj.imW)
+        al = geo.convert_rot_to_alpha(
+            a.bbox_3d[10],
+            (imobj.p2_inv @ np.array([a.bbox_3d[0] * a.bbox_3d[2],
+                                      a.bbox_3d[1] * a.bbox_3d[2],
+                                      a.bbox_3d[2], 1.0]))[2],
+            (imobj.p2_inv @ np.array([a.bbox_3d[0] * a.bbox_3d[2],
+                                      a.bbox_3d[1] * a.bbox_3d[2],
+                                      a.bbox_3d[2], 1.0]))[0])
+        assert abs(float(geo.snap_to_pi(al - a.bbox_3d[6]))) < 1e-6
+
+
+def test_random_transform_backprojection(synthetic_kitti, tiny_conf):
+    imdb = build_imdb(tiny_conf, synthetic_kitti, "train")
+    imobj = next(o for o in imdb if len(o.gts) > 0)
+    import copy
+    imobj = copy.deepcopy(imobj)
+    im = np.zeros([imobj.imH, imobj.imW, 3], np.float32)
+    rng = np.random.RandomState(1)
+    t = RandomTransform(distort_prob=1.1, shift=0.1, scale=0.3,
+                        dst_h=tiny_conf.crop_size[0], dst_w=tiny_conf.crop_size[1],
+                        rng=rng)
+    im2, imobj = t(im, imobj)
+    assert im2.shape[:2] == tuple(tiny_conf.crop_size)
+    for gt in imobj.gts:
+        # bbox_3d[7:10] must be the backprojection of (cx, cy, z2d)
+        cx, cy, cz = gt.bbox_3d[0], gt.bbox_3d[1], gt.bbox_3d[2]
+        c3d = imobj.p2_inv @ np.array([cx * cz, cy * cz, cz, 1.0])
+        np.testing.assert_allclose(gt.bbox_3d[7:10], c3d[:3], atol=1e-6)
+
+
+def test_dataset_and_loader(synthetic_kitti, tiny_conf):
+    conf = tiny_conf.replace(anchors=None)
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
+    assert conf.anchors is not None and conf.bbox_means is not None
+
+    sample = ds[0]
+    H, W = conf.crop_size
+    assert sample["input"].shape == (H, W, 3)
+    assert sample["input"].dtype == np.float32
+
+    weights = balance_samples(conf, ds.imdb)
+    assert weights.shape == (len(ds),)
+    np.testing.assert_allclose(weights.sum(), 1.0)
+
+    loader = TrainLoader(ds, batch_size=2, num_workers=2, seed=0)
+    batches = list(loader.batches(2))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["images"].shape == (2, H, W, 3)
+    N = conf.anchors.shape[0] * conf.feat_size[0] * conf.feat_size[1]
+    assert b["labels"].shape == (2, N)
+    assert b["bbox_3d"].shape == (2, N, 7)
+
+
+def test_validation_dataset(synthetic_kitti, tiny_conf):
+    conf = tiny_conf.replace(anchors=None)
+    # anchors must exist before validation use; train dataset generates them
+    Kitti3DDataset(conf, synthetic_kitti, phase="train")
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
+    s = ds[0]
+    assert "target" not in s
+    assert s["input"].shape == (conf.test_scale[0], conf.test_scale[1], 3)
+    assert s["meta"]["scale_factor"] == 1.0
