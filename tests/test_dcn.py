@@ -1,0 +1,142 @@
+"""DCNv2 op tests: oracle comparison, conv equivalence, gradients.
+
+Mirrors the reference's kernel test strategy (ref:model/DCNv2/test.py:
+zero-offset identity checks + gradcheck) with a numpy loop oracle and
+finite differences.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3dssd_tpu.ops.dcn import dcn_v2, dcn_v2_reference, bilinear_sample
+
+
+def _rand_case(rng, B=2, H=6, W=7, Cin=3, Cout=4, K=3):
+    x = rng.normal(size=(B, H, W, Cin)).astype(np.float32)
+    offset = (rng.normal(size=(B, H, W, K * K, 2)) * 1.5).astype(np.float32)
+    mask = rng.uniform(0.2, 1.0, size=(B, H, W, K * K)).astype(np.float32)
+    weight = rng.normal(size=(K, K, Cin, Cout)).astype(np.float32) * 0.3
+    bias = rng.normal(size=(Cout,)).astype(np.float32)
+    return x, offset, mask, weight, bias
+
+
+def test_dcn_matches_loop_oracle():
+    rng = np.random.default_rng(0)
+    x, offset, mask, weight, bias = _rand_case(rng)
+    got = dcn_v2(jnp.array(x), jnp.array(offset), jnp.array(mask),
+                 jnp.array(weight), jnp.array(bias))
+    want = dcn_v2_reference(x, offset, mask, weight, bias)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_zero_offset_equals_plain_conv():
+    """With zero offsets and unit mask, DCNv2 == standard 3x3 conv
+    (ref:model/DCNv2/test.py:32 check_zero_offset)."""
+    rng = np.random.default_rng(1)
+    B, H, W, Cin, Cout, K = 2, 8, 9, 3, 5, 3
+    x = rng.normal(size=(B, H, W, Cin)).astype(np.float32)
+    weight = rng.normal(size=(K, K, Cin, Cout)).astype(np.float32) * 0.2
+    offset = np.zeros((B, H, W, K * K, 2), np.float32)
+    mask = np.ones((B, H, W, K * K), np.float32)
+
+    got = dcn_v2(jnp.array(x), jnp.array(offset), jnp.array(mask),
+                 jnp.array(weight))
+    conv = jax.lax.conv_general_dilated(
+        jnp.array(x), jnp.array(weight), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(conv),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_integer_offset_is_shift():
+    """Integer offsets shift the sampling grid exactly."""
+    rng = np.random.default_rng(2)
+    B, H, W, C = 1, 8, 8, 2
+    x = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    # 1x1 kernel, identity weight per channel
+    weight = np.zeros((1, 1, C, C), np.float32)
+    weight[0, 0] = np.eye(C)
+    offset = np.zeros((B, H, W, 1, 2), np.float32)
+    offset[..., 0, 0] = 1.0  # dy = +1 -> sample one row down
+    mask = np.ones((B, H, W, 1), np.float32)
+    got = np.asarray(dcn_v2(jnp.array(x), jnp.array(offset), jnp.array(mask),
+                            jnp.array(weight), stride=1, padding=0))
+    np.testing.assert_allclose(got[:, :-1], x[:, 1:], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got[:, -1], 0.0, atol=1e-6)  # out of bounds
+
+
+def test_mask_modulation():
+    rng = np.random.default_rng(3)
+    x, offset, mask, weight, bias = _rand_case(rng, B=1, H=5, W=5)
+    half = dcn_v2(jnp.array(x), jnp.array(offset), jnp.array(mask * 0.5),
+                  jnp.array(weight))
+    full = dcn_v2(jnp.array(x), jnp.array(offset), jnp.array(mask),
+                  jnp.array(weight))
+    np.testing.assert_allclose(np.asarray(half), np.asarray(full) * 0.5,
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("wrt", ["x", "offset", "mask", "weight"])
+def test_gradients_finite_difference(wrt):
+    """Autodiff gradients match central finite differences
+    (role of ref:model/DCNv2/test.py gradcheck)."""
+    rng = np.random.default_rng(4)
+    x, offset, mask, weight, bias = _rand_case(rng, B=1, H=4, W=4, Cin=2,
+                                               Cout=2)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        args = {"x": jnp.array(x, jnp.float64),
+                "offset": jnp.array(offset, jnp.float64),
+                "mask": jnp.array(mask, jnp.float64),
+                "weight": jnp.array(weight, jnp.float64)}
+
+        def f(v):
+            a = dict(args)
+            a[wrt] = v
+            with jax.disable_jit():
+                out = dcn_v2(a["x"], a["offset"], a["mask"], a["weight"],
+                             jnp.array(bias, jnp.float64))
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size, dtype=jnp.float64)
+                                         .reshape(out.shape)))
+
+        g = np.asarray(jax.grad(f)(args[wrt]))
+        v0 = np.asarray(args[wrt], dtype=np.float64)
+        eps = 1e-5
+        idxs = [tuple(rng.integers(0, s) for s in v0.shape) for _ in range(6)]
+        for idx in idxs:
+            vp = v0.copy(); vp[idx] += eps
+            vm = v0.copy(); vm[idx] -= eps
+            fd = (float(f(jnp.array(vp))) - float(f(jnp.array(vm)))) / (2 * eps)
+            # offset gradients are only piecewise-smooth (bilinear kinks at
+            # integer coords); tolerance reflects that
+            np.testing.assert_allclose(g[idx], fd, rtol=2e-3, atol=2e-5)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_bilinear_sample_exact_at_integers():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, 5, 6, 3)).astype(np.float32)
+    py = jnp.array([[2.0, 4.0]])
+    px = jnp.array([[3.0, 5.0]])
+    got = np.asarray(bilinear_sample(jnp.array(x), py, px))
+    np.testing.assert_allclose(got[0, 0], x[0, 2, 3], rtol=1e-6)
+    np.testing.assert_allclose(got[0, 1], x[0, 4, 5], rtol=1e-6)
+
+
+def test_stride_2():
+    rng = np.random.default_rng(6)
+    B, H, W, Cin, Cout, K = 1, 8, 8, 2, 3, 3
+    x = rng.normal(size=(B, H, W, Cin)).astype(np.float32)
+    Ho = Wo = 4
+    offset = (rng.normal(size=(B, Ho, Wo, K * K, 2)) * 0.7).astype(np.float32)
+    mask = rng.uniform(0.5, 1.0, size=(B, Ho, Wo, K * K)).astype(np.float32)
+    weight = rng.normal(size=(K, K, Cin, Cout)).astype(np.float32)
+    got = dcn_v2(jnp.array(x), jnp.array(offset), jnp.array(mask),
+                 jnp.array(weight), stride=2)
+    want = dcn_v2_reference(x, offset, mask, weight, stride=2)
+    assert got.shape == (B, Ho, Wo, Cout)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
