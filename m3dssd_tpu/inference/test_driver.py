@@ -1,0 +1,110 @@
+"""KITTI test driver: run detection over a dataset, write result files,
+optionally evaluate.
+
+Re-derivation of ref:lib/rpn_util.py:1754-1960 (`test_kitti_3d`): per image,
+detect -> score-threshold -> alpha->rotY via the back-projected ray ->
+hill-climb refine -> back-project center -> KITTI result line; then the
+AP11/AP-R40 evaluation.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from .. import geometry as geo
+from .hill_climb import hill_climb
+
+
+def write_kitti_result(path, dets_rows):
+    """dets_rows: list of dicts with KITTI fields."""
+    lines = []
+    for r in dets_rows:
+        lines.append(
+            ("{cls} -1 -1 {alpha:.6f} {x1:.6f} {y1:.6f} {x2:.6f} {y2:.6f} "
+             "{h3d:.6f} {w3d:.6f} {l3d:.6f} {x3d:.6f} {y3d:.6f} {z3d:.6f} "
+             "{ry3d:.6f} {score:.6f}").format(**r))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+
+
+def postprocess_dets(conf, dets: np.ndarray, p2: np.ndarray,
+                     p2_inv: np.ndarray):
+    """Host post-processing for one image's detection table [K,14]
+    (columns per inference.detect.DET_COLS). Returns KITTI result rows."""
+    dets = np.asarray(dets, dtype=np.float64)
+    valid = dets[:, 4] >= conf.score_thres
+    dets = dets[valid]
+    if dets.shape[0] == 0:
+        return []
+
+    x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
+    score, cls_ind = dets[:, 4], dets[:, 5].astype(int)
+    x3d_2d, y3d_2d, z3d = dets[:, 6], dets[:, 7], dets[:, 8]
+    w3d, h3d, l3d, alpha_dec = dets[:, 9], dets[:, 10], dets[:, 11], dets[:, 12]
+
+    # the decoded rotation is alpha; convert to rotY on the back-projected
+    # ray (ref:lib/rpn_util.py:1827-1828)
+    coord3d = geo.backproject(p2_inv, x3d_2d, y3d_2d, z3d)
+    ry3d = geo.convert_alpha_to_rot(alpha_dec, coord3d[:, 2], coord3d[:, 0])
+
+    if conf.hill_climbing:
+        box2d_xyxy = np.stack([x1, y1, x2, y2], axis=1)
+        z3d, ry3d = hill_climb(p2, p2_inv, box2d_xyxy, x3d_2d, y3d_2d, z3d,
+                               w3d, h3d, l3d, ry3d,
+                               step_r_init=0.3 * np.pi, r_lim=0.01)
+
+    # final back-projection and bottom-center restore (ref::1839-1846)
+    coord3d = geo.backproject(p2_inv, x3d_2d, y3d_2d, z3d)
+    alpha = geo.convert_rot_to_alpha(ry3d, coord3d[:, 2], coord3d[:, 0])
+    x3d = coord3d[:, 0]
+    y3d = coord3d[:, 1] + h3d / 2
+    z3d_out = coord3d[:, 2]
+
+    rows = []
+    for i in range(dets.shape[0]):
+        rows.append(dict(
+            cls=conf.lbls[cls_ind[i] - 1], alpha=alpha[i],
+            x1=x1[i], y1=y1[i], x2=x2[i], y2=y2[i],
+            h3d=h3d[i], w3d=w3d[i], l3d=l3d[i],
+            x3d=x3d[i], y3d=y3d[i], z3d=z3d_out[i],
+            ry3d=ry3d[i], score=score[i]))
+    return rows
+
+
+def test_kitti_3d(dataset, detect_fn, params, batch_stats, conf,
+                  results_path: str, gt_path: Optional[str] = None,
+                  evaluate: bool = True):
+    """Run detection over `dataset` (eval phase), write KITTI txts, and
+    compute AP metrics against `gt_path` labels.
+
+    Returns (results dict or None, mean Car 3D AP-R40 selection metric).
+    """
+    os.makedirs(results_path, exist_ok=True)
+    t0 = time.time()
+    n = len(dataset)
+    for i in range(n):
+        sample = dataset[i]
+        im = sample["input"][None]
+        meta = sample["meta"]
+        dets = np.asarray(detect_fn(params, batch_stats, im,
+                                    np.float32(meta["scale_factor"])))
+        rows = postprocess_dets(conf, dets, meta["p2"],
+                                np.linalg.inv(meta["p2"]))
+        write_kitti_result(os.path.join(results_path, meta["id"] + ".txt"),
+                           rows)
+    dt = time.time() - t0
+    logging.info("test_kitti_3d: %d images in %.1fs (%.2f im/s)", n, dt,
+                 n / max(dt, 1e-9))
+
+    if not (evaluate and gt_path):
+        return None, 0.0
+
+    from ..eval.kitti_eval import evaluate_kitti
+    res = evaluate_kitti(gt_path, results_path, classes=conf.lbls)
+    sel = res.get("Car_3d_R40", [0.0, 0.0, 0.0])
+    return res, float(np.mean(sel))

@@ -1,0 +1,219 @@
+"""The M3DSSD detection loss, fully masked for jit (static shapes).
+
+Re-derivation of ref:lib/loss/rpn_3d.py:659-1360 (`RPN_3D_loss_smp`, the
+active loss under `pre_compute_target=True`). Semantics preserved:
+
+  * per-image box sampling with budgets fg = round(N * box_samples *
+    fg_fraction), bg = round(N * box_samples) - fg, taking the LOWEST-scoring
+    candidates first (hard-negative/hard-positive mining by predicted
+    probability ascending, ref::844-858);
+  * batch-global fg/bg class re-weighting
+    fg_w = fg_fraction/(1-fg_fraction) * bg_total/fg_total (ref::1141-1150);
+  * cross-entropy with per-element clamp to [0, 2000] ("gradient clipping",
+    ref::1196-1200), mean over active samples;
+  * SmoothL1 on the 7 whitened 3D params, mean over sampled fg (ref::1283-1300);
+  * -log(IoU) between decoded predicted and decoded target 2D boxes
+    (ref::1347-1353);
+  * optional focal-style down-weighting by (1-p)^gamma (ref::1157-1173) and
+    the 2D SmoothL1 branch (ref::1225-1249 — latently broken upstream, fixed
+    here), both off in the stock configs.
+
+The reference's per-image Python loop + dynamic index lists become a fixed
+shape rank-and-threshold selection: candidates are sorted by score, and a roi
+is selected iff its rank among its pool is below the (traced scalar) budget.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boxes import (bbox_transform_inv, decode_bbox_3d, iou_list,
+                         masked_mean, smooth_l1)
+
+IGN_FLAG = 3000
+
+
+@dataclasses.dataclass(frozen=True)
+class RPNLossConfig:
+    box_samples: float = 0.20
+    fg_fraction: float = 0.20
+    hard_negatives: bool = True
+    focal_loss: float = 0.0
+    cls_2d_lambda: float = 1.0
+    iou_2d_lambda: float = 1.0
+    bbox_2d_lambda: float = 0.0
+    bbox_3d_lambda: float = 1.0
+
+    @staticmethod
+    def from_conf(conf) -> "RPNLossConfig":
+        return RPNLossConfig(
+            box_samples=conf.box_samples, fg_fraction=conf.fg_fraction,
+            hard_negatives=conf.hard_negatives, focal_loss=conf.focal_loss,
+            cls_2d_lambda=conf.cls_2d_lambda, iou_2d_lambda=conf.iou_2d_lambda,
+            bbox_2d_lambda=conf.bbox_2d_lambda,
+            bbox_3d_lambda=conf.bbox_3d_lambda)
+
+
+def _rank_select(score, pool_mask, budget, key):
+    """Select up to `budget` pool members with the smallest `score`.
+
+    Static-shape replacement for the reference's sort-and-slice
+    (ref::844-858). `budget` may be a traced scalar. When hard mining is off,
+    callers pass random scores. Returns a boolean mask.
+    """
+    masked = jnp.where(pool_mask, score, jnp.inf)
+    order = jnp.argsort(masked)                 # ascending
+    rank = jnp.argsort(order)                   # rank of each element
+    return pool_mask & (rank < budget)
+
+
+def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
+                rois: jnp.ndarray, anchors: jnp.ndarray,
+                bbox_means: jnp.ndarray, bbox_stds: jnp.ndarray,
+                cfg: RPNLossConfig, rng: jax.Array | None = None
+                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Compute the total detection loss and a stats dict.
+
+    outputs: model forward dict (cls/prob/bbox_2d/bbox_3d, [B,N,...]).
+    batch: labels [B,N] (IGN_FLAG for ignored), labels_fg/bg/ign [B,N],
+           bbox_2d [B,N,4], bbox_3d [B,N,7] (whitened targets), any_val [B].
+    rois [N,5]; anchors [A,9]; bbox_means/stds [1,11] or [11].
+    """
+    cls = outputs["cls"].astype(jnp.float32)
+    prob = jax.lax.stop_gradient(outputs["prob"].astype(jnp.float32))
+    bbox_2d = outputs["bbox_2d"].astype(jnp.float32)
+    bbox_3d = outputs["bbox_3d"].astype(jnp.float32)
+
+    B, N, C = cls.shape
+    means = jnp.asarray(bbox_means, jnp.float32).reshape(-1)
+    stds = jnp.asarray(bbox_stds, jnp.float32).reshape(-1)
+    rois = jnp.asarray(rois, jnp.float32)
+    anchors = jnp.asarray(anchors, jnp.float32)
+
+    labels = batch["labels"].astype(jnp.int32)
+    is_fg = batch["labels_fg"].astype(bool)
+    is_bg = batch["labels_bg"].astype(bool)
+    is_ign = batch["labels_ign"].astype(bool)
+    any_val = batch["any_val"].astype(bool)          # [B]
+
+    # ---------------------------------------------------------- box sampling
+    fg_budget = round(N * cfg.box_samples * cfg.fg_fraction)
+    total_budget = round(N * cfg.box_samples)
+
+    n_fg = jnp.sum(is_fg, axis=1)                    # [B]
+    n_ign = jnp.sum(is_ign, axis=1)
+    # image participates iff it has valid gts AND (fg or ign anchors exist)
+    # (ref::815-829; otherwise the bg-only branch budget rounds to 0 with the
+    # stock box_samples=0.2, so the image contributes nothing)
+    participates = any_val & ((n_fg > 0) | (n_ign > 0))
+
+    fg_num = jnp.minimum(fg_budget, n_fg)            # [B] traced scalars
+    bg_num = total_budget - fg_num
+
+    # score of the *labeled* class (bg anchors have label 0)
+    lbl_for_score = jnp.where(labels == IGN_FLAG, 0, labels)
+    score = jnp.take_along_axis(prob, lbl_for_score[..., None], axis=2)[..., 0]
+
+    if cfg.hard_negatives:
+        sel_score = score
+    else:
+        assert rng is not None, "random sampling requires an rng"
+        sel_score = jax.random.uniform(rng, score.shape)
+
+    sel_fg = jax.vmap(_rank_select, in_axes=(0, 0, 0, None))(
+        sel_score, is_fg, fg_num, None)
+    sel_bg = jax.vmap(_rank_select, in_axes=(0, 0, 0, None))(
+        sel_score, is_bg, bg_num, None)
+    sel_fg = sel_fg & participates[:, None]
+    sel_bg = sel_bg & participates[:, None]
+
+    fg_total = jnp.sum(sel_fg)
+    bg_total = jnp.sum(sel_bg)
+
+    # batch-global class weighting (ref::1141-1150)
+    fg_w = jnp.where(fg_total > 0,
+                     (cfg.fg_fraction / (1 - cfg.fg_fraction))
+                     * (bg_total / jnp.maximum(fg_total, 1)), 0.0)
+    labels_weight = sel_fg * fg_w + sel_bg * 1.0
+    if cfg.focal_loss:
+        labels_weight = labels_weight * (1.0 - score) ** cfg.focal_loss
+
+    active = sel_fg | sel_bg
+    stats: Dict[str, jnp.ndarray] = {}
+    loss = jnp.float32(0.0)
+
+    # ------------------------------------------------------------- cls loss
+    if cfg.cls_2d_lambda:
+        logp = jax.nn.log_softmax(cls, axis=-1)
+        ce = -jnp.take_along_axis(logp, lbl_for_score[..., None], axis=2)[..., 0]
+        ce = jnp.clip(ce * labels_weight, 0.0, 2000.0)
+        loss_cls = masked_mean(ce, active) * cfg.cls_2d_lambda
+        loss = loss + loss_cls
+        stats["loss_cls"] = loss_cls
+
+    # accuracy stats over *all* labeled anchors (ref::1099-1105)
+    cls_pred = jnp.argmax(cls, axis=-1)
+    lab_fg_all = (labels > 0) & (labels != IGN_FLAG)
+    lab_bg_all = labels == 0
+    stats["acc_fg"] = masked_mean((cls_pred == labels).astype(jnp.float32),
+                                  lab_fg_all)
+    stats["acc_bg"] = masked_mean((cls_pred == 0).astype(jnp.float32),
+                                  lab_bg_all)
+
+    # --------------------------------------------------------- 3D bbox loss
+    bbox_weights = sel_fg.astype(jnp.float32)
+    if cfg.bbox_3d_lambda:
+        l3d = smooth_l1(bbox_3d, batch["bbox_3d"].astype(jnp.float32))
+        # per-param masked mean over sampled fg, summed over the 7 params
+        per_param = jax.vmap(lambda p: masked_mean(p, bbox_weights),
+                             in_axes=2)(l3d)
+        loss_3d = jnp.sum(per_param) * cfg.bbox_3d_lambda
+        loss = loss + loss_3d
+        stats["loss_bbox3d"] = loss_3d
+
+    if cfg.bbox_2d_lambda:
+        l2d = smooth_l1(bbox_2d, batch["bbox_2d"].astype(jnp.float32))
+        per_param = jax.vmap(lambda p: masked_mean(p, bbox_weights),
+                             in_axes=2)(l2d)
+        loss_2d = jnp.sum(per_param) * cfg.bbox_2d_lambda
+        loss = loss + loss_2d
+        stats["loss_bbox2d"] = loss_2d
+
+    # ------------------------------------------------- decoded IoU loss/stats
+    coords = bbox_transform_inv(rois[None], bbox_2d, means[0:4], stds[0:4])
+    coords_tar = bbox_transform_inv(rois[None],
+                                    batch["bbox_2d"].astype(jnp.float32),
+                                    means[0:4], stds[0:4])
+    ious = iou_list(coords, coords_tar)
+    stats["iou"] = masked_mean(ious, bbox_weights)
+
+    if cfg.iou_2d_lambda:
+        # clamp for -log stability (the reference relies on fg IoU > 0, which
+        # holds after a few steps but not at init)
+        iou_loss = -jnp.log(jnp.clip(ious, 1e-7, 1.0))
+        # mean over sampled fg only (ref::1334,1347-1353: active=bbox_weights>0)
+        loss_iou = masked_mean(iou_loss, bbox_weights) * cfg.iou_2d_lambda
+        loss = loss + loss_iou
+        stats["loss_iou"] = loss_iou
+
+    # --------------------------------------------- z / rotation error stats
+    tracker = rois[:, 4].astype(jnp.int32)
+    src3d = anchors[tracker][:, 4:9]                 # [N,5]
+    dec = decode_bbox_3d(rois[None, :, :4], bbox_3d, src3d[None], means, stds)
+    dec_tar = decode_bbox_3d(rois[None, :, :4],
+                             batch["bbox_3d"].astype(jnp.float32),
+                             src3d[None], means, stds)
+    stats["err_z"] = masked_mean(jnp.abs(dec[..., 2] - dec_tar[..., 2]),
+                                 bbox_weights)
+    stats["err_ry"] = masked_mean(jnp.abs(dec[..., 6] - dec_tar[..., 6]),
+                                  bbox_weights)
+
+    stats["loss"] = loss
+    stats["fg_count"] = fg_total.astype(jnp.float32)
+    stats["bg_count"] = bg_total.astype(jnp.float32)
+    return loss, stats

@@ -1,0 +1,170 @@
+"""DLA aggregation necks: DeformConv, IDAUp, DLAUp, DLASeg.
+
+Re-derivation of ref:model/pose_dla_dcn.py:471-701. Upsampling merges deep
+levels into the stride-8 map; projection/node convs are deformable (DCNv2
+with learned offsets) when `ida_dcnv2` is on, plain 3x3 otherwise
+(ref:model/pose_dla_dcn.py:529-534).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.dcn import dcn_v2
+from .dla import make_dla
+from .layers import BN_MOMENTUM, BilinearUpsample, leaky_relu
+
+
+class DCN(nn.Module):
+    """Deformable conv with *learned* offsets/mask (ref:model/DCNv2/dcn_v2.py:44-70).
+
+    A zero-initialized conv predicts per-tap (dy, dx) and a sigmoid mask; at
+    init the op is exactly a plain conv (offsets 0, mask 0.5).
+    """
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        K = self.kernel
+        KK = K * K
+        om = nn.Conv(3 * KK, (K, K), strides=(self.stride, self.stride),
+                     padding=[(self.dilation * (K - 1) // 2,) * 2] * 2,
+                     kernel_dilation=(self.dilation, self.dilation),
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros,
+                     dtype=self.dtype, name="conv_offset_mask")(x)
+        o_y, o_x, m = jnp.split(om, 3, axis=-1)
+        offset = jnp.stack([o_y, o_x], axis=-1)          # [B,H,W,KK,2]
+        mask = nn.sigmoid(m)                              # [B,H,W,KK]
+
+        weight = self.param("weight",
+                            nn.initializers.variance_scaling(
+                                1.0 / 3.0, "fan_in", "uniform"),
+                            (K, K, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return dcn_v2(x, offset, mask, weight.astype(x.dtype),
+                      bias.astype(x.dtype), stride=self.stride,
+                      padding=self.dilation * (K - 1) // 2,
+                      dilation=self.dilation)
+
+
+class DeformConv(nn.Module):
+    """DCN -> BN -> LeakyReLU (ref:model/pose_dla_dcn.py:471-485)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = DCN(self.features, 3, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         dtype=self.dtype)(x)
+        return leaky_relu(x)
+
+
+class PlainConv(nn.Module):
+    """3x3 conv used when ida_dcnv2=False (ref:model/pose_dla_dcn.py:533-534)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                       dtype=self.dtype)(x)
+
+
+class IDAUp(nn.Module):
+    """Iterative deep aggregation step (ref:model/pose_dla_dcn.py:519-552).
+
+    For each level i>start: level_i = node(up(proj(level_i)) + level_{i-1}).
+    """
+    out_features: int
+    up_factors: Sequence[int]   # per level, relative to the first
+    use_dcn: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        conv = DeformConv if self.use_dcn else PlainConv
+        n = len(self.up_factors)
+        self.projs = [conv(self.out_features, dtype=self.dtype)
+                      for _ in range(1, n)]
+        self.nodes = [conv(self.out_features, dtype=self.dtype)
+                      for _ in range(1, n)]
+        self.ups = [BilinearUpsample(self.out_features, int(self.up_factors[i]),
+                                     dtype=self.dtype)
+                    for i in range(1, n)]
+
+    def __call__(self, layers: List, start: int, end: int, train: bool = True):
+        layers = list(layers)
+        for i in range(start + 1, end):
+            j = i - start - 1
+            up = self.ups[j](self.projs[j](layers[i], train))
+            layers[i] = self.nodes[j](up + layers[i - 1], train)
+        return layers
+
+
+class DLAUp(nn.Module):
+    """Full aggregation pyramid (ref:model/pose_dla_dcn.py:556-578)."""
+    channels: Sequence[int]       # channels of levels [first_level:]
+    use_dcn: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        ch = list(self.channels)
+        in_ch = list(self.channels)
+        scales = [2 ** i for i in range(len(ch))]
+        idas = []
+        for i in range(len(ch) - 1):
+            j = -i - 2
+            idas.append(IDAUp(ch[j],
+                              [s // scales[j] for s in scales[j:]],
+                              use_dcn=self.use_dcn, dtype=self.dtype))
+            scales[j + 1:] = [scales[j]] * len(scales[j + 1:])
+            in_ch[j + 1:] = [ch[j]] * len(in_ch[j + 1:])
+        self.idas = idas
+
+    def __call__(self, layers: List, train: bool = True):
+        layers = list(layers)
+        out = [layers[-1]]
+        for i in range(len(self.channels) - 1):
+            start = len(layers) - i - 2
+            layers = self.idas[i](layers, start, len(layers), train)
+            out.insert(0, layers[-1])
+        return out
+
+
+class DLASeg(nn.Module):
+    """Backbone + DLAUp + final IDAUp -> single stride-8 feature map
+    (ref:model/pose_dla_dcn.py:641-701)."""
+    base_name: str = "dla102"
+    down_ratio: int = 8
+    last_level: int = 5
+    use_dcn: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.base, channels = make_dla(self.base_name, dtype=self.dtype)
+        self.channels = channels
+        self.first_level = int(np.log2(self.down_ratio))
+        self.out_channels = channels[self.first_level]
+        self.dla_up = DLAUp(channels[self.first_level:], use_dcn=self.use_dcn,
+                            dtype=self.dtype)
+        n_final = self.last_level - self.first_level
+        self.ida_up = IDAUp(self.out_channels,
+                            [2 ** i for i in range(n_final)],
+                            use_dcn=self.use_dcn, dtype=self.dtype)
+
+    def __call__(self, x, train: bool = True):
+        levels = self.base(x, train)
+        agg = self.dla_up(levels[self.first_level:], train)
+        n_final = self.last_level - self.first_level
+        y = list(agg[:n_final])
+        y = self.ida_up(y, 0, n_final, train)
+        return y[-1]

@@ -1,0 +1,203 @@
+"""The M3DSSD RPN head and model builder.
+
+Re-derivation of ref:model/M3d_inference_align.py:31-331. One shared stride-8
+feature map feeds 12 regression towers + 1 classification tower; optional
+shape/center alignment and ANAB depth attention sit between them.
+
+Output contract (both train and eval):
+    dict(cls [B,N,Ncls], prob [B,N,Ncls], bbox_2d [B,N,4], bbox_3d [B,N,7])
+with N = A*H*W flattened in (anchor, row, col) order to match
+`anchors.locate_anchors`. Anchor rois are host-side constants — the reference
+caches them as module state (ref::62-64,308-313); under jit they are simply
+arrays passed to the decode step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .align import CenterAlign, ShapeAlign
+from .attention import ANAB
+from .layers import BN_MOMENTUM, leaky_relu
+from .necks import DLASeg
+
+
+def flatten_anchor_map(x):
+    """[B, H, W, A(, C)] -> [B, A*H*W(, C)] in (a, h, w) order."""
+    if x.ndim == 4:
+        B, H, W, A = x.shape
+        return x.transpose(0, 3, 1, 2).reshape(B, A * H * W)
+    B, H, W, A, C = x.shape
+    return x.transpose(0, 3, 1, 2, 4).reshape(B, A * H * W, C)
+
+
+def unflatten_anchor_map(x, feat_size, num_anchors):
+    """Inverse of `flatten_anchor_map` (ref:lib/rpn_util.py:904-918)."""
+    H, W = int(feat_size[0]), int(feat_size[1])
+    A = num_anchors
+    B = x.shape[0]
+    if x.ndim == 2:
+        return x.reshape(B, A, H, W).transpose(0, 2, 3, 1)
+    C = x.shape[-1]
+    return x.reshape(B, A, H, W, C).transpose(0, 2, 3, 1, 4)
+
+
+class Tower(nn.Module):
+    """conv(first_kernel) -> BN -> LReLU -> conv1x1 -> BN -> LReLU -> conv1x1
+    (ref:model/M3d_inference_align.py:66-210)."""
+    out_features: int
+    hidden: int = 256
+    first_kernel: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        k = self.first_kernel
+        x = nn.Conv(self.hidden, (k, k), padding=[(k // 2, k // 2)] * 2,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         dtype=self.dtype)(x)
+        x = leaky_relu(x)
+        x = nn.Conv(self.hidden, (1, 1), dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         dtype=self.dtype)(x)
+        x = leaky_relu(x)
+        return nn.Conv(self.out_features, (1, 1), dtype=self.dtype)(x)
+
+
+class M3DRPN(nn.Module):
+    """Backbone + 13 towers + alignment + ANAB (see module docstring)."""
+    num_classes: int
+    num_anchors: int
+    anchors: np.ndarray                    # [A, 9] host constant
+    bbox_means: Optional[np.ndarray]       # [11]
+    bbox_stds: Optional[np.ndarray]
+    back_bone: str = "dla102"
+    feat_stride: int = 8
+    attention: Optional[str] = None
+    center_align: bool = False
+    shape_align: bool = False
+    ida_dcnv2: bool = True
+    head_hidden: int = 256
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.base = DLASeg(base_name=self.back_bone,
+                           down_ratio=self.feat_stride,
+                           use_dcn=self.ida_dcnv2, dtype=self.dtype)
+        A = self.num_anchors
+        t = lambda out, k=1: Tower(out, self.head_hidden, k, dtype=self.dtype)
+        self.cls_tower = t(A * self.num_classes, k=3)
+        self.bbox_x = t(A)
+        self.bbox_y = t(A)
+        self.bbox_w = t(A)
+        self.bbox_h = t(A)
+        self.bbox_x3d = t(A)
+        self.bbox_y3d = t(A)
+        self.bbox_z3d = t(A)
+        self.bbox_w3d = t(A)
+        self.bbox_h3d = t(A)
+        self.bbox_l3d = t(A)
+        self.bbox_rY3d = t(A)
+
+        ch = self.base.out_channels
+        if self.shape_align:
+            self.shape_align_mod = ShapeAlign(
+                ch, self.anchors, self.feat_stride, kernel=3, dtype=self.dtype)
+        if self.center_align:
+            self.center_align2d = CenterAlign(
+                ch, self.anchors, self.bbox_means[0:2], self.bbox_stds[0:2],
+                self.feat_stride, dtype=self.dtype)
+            self.center_align3d = CenterAlign(
+                ch, self.anchors, self.bbox_means[4:6], self.bbox_stds[4:6],
+                self.feat_stride, dtype=self.dtype)
+        if self.attention == "ANAB":
+            self.anab = ANAB(dtype=self.dtype)
+            self.anab_bn = nn.BatchNorm(momentum=BN_MOMENTUM, dtype=self.dtype)
+
+    def __call__(self, x, train: bool = True) -> Dict[str, jnp.ndarray]:
+        B = x.shape[0]
+        A = self.num_anchors
+        x = self.base(x, train)
+        H, W = x.shape[1], x.shape[2]
+
+        cls = self.cls_tower(x, train).reshape(B, H, W, A, self.num_classes)
+        prob = nn.softmax(cls.astype(jnp.float32), axis=-1)
+        # per-anchor foreground confidence (1 - P(bg)), detached
+        fg_prob = (1.0 - prob[..., 0]).astype(x.dtype)     # [B,H,W,A]
+
+        feats = self.shape_align_mod(x, fg_prob) if self.shape_align else x
+
+        bbox_x = self.bbox_x(feats, train)                 # [B,H,W,A]
+        bbox_y = self.bbox_y(feats, train)
+
+        if self.center_align:
+            feats2d = self.center_align2d(feats, bbox_x, bbox_y, fg_prob)
+        else:
+            feats2d = feats
+        bbox_w = self.bbox_w(feats2d, train)
+        bbox_h = self.bbox_h(feats2d, train)
+
+        bbox_x3d = self.bbox_x3d(feats, train)
+        bbox_y3d = self.bbox_y3d(feats, train)
+        if self.center_align:
+            feats3d = self.center_align3d(feats, bbox_x3d, bbox_y3d, fg_prob)
+        else:
+            feats3d = feats
+        bbox_w3d = self.bbox_w3d(feats3d, train)
+        bbox_h3d = self.bbox_h3d(feats3d, train)
+        bbox_l3d = self.bbox_l3d(feats3d, train)
+        bbox_rY3d = self.bbox_rY3d(feats3d, train)
+
+        feats_z = feats3d
+        if self.attention == "ANAB":
+            feats_z = self.anab(feats_z)
+            feats_z = self.anab_bn(feats_z, use_running_average=not train)
+            feats_z = leaky_relu(feats_z)
+        bbox_z3d = self.bbox_z3d(feats_z, train)
+
+        f32 = lambda v: flatten_anchor_map(v).astype(jnp.float32)
+        bbox_2d = jnp.stack([f32(bbox_x), f32(bbox_y),
+                             f32(bbox_w), f32(bbox_h)], axis=2)
+        bbox_3d = jnp.stack([f32(bbox_x3d), f32(bbox_y3d), f32(bbox_z3d),
+                             f32(bbox_w3d), f32(bbox_h3d), f32(bbox_l3d),
+                             f32(bbox_rY3d)], axis=2)
+
+        return {
+            "cls": flatten_anchor_map(cls).astype(jnp.float32),
+            "prob": flatten_anchor_map(prob),
+            "bbox_2d": bbox_2d,
+            "bbox_3d": bbox_3d,
+            "feat_size": (H, W),
+        }
+
+
+def build(conf, phase: str = "train") -> M3DRPN:
+    """Model factory (ref:model/M3d_inference_align.py:316-331).
+
+    `phase` is accepted for API parity; train/eval is a call-time argument
+    under the functional paradigm.
+    """
+    if not conf.back_bone.startswith("dla"):
+        raise NotImplementedError(f"backbone {conf.back_bone}")
+    dtype = jnp.bfloat16 if conf.compute_dtype == "bfloat16" else jnp.float32
+    means = None if conf.bbox_means is None else np.asarray(conf.bbox_means)[0]
+    stds = None if conf.bbox_stds is None else np.asarray(conf.bbox_stds)[0]
+    return M3DRPN(
+        num_classes=conf.num_classes,
+        num_anchors=conf.anchors.shape[0],
+        anchors=np.asarray(conf.anchors),
+        bbox_means=means,
+        bbox_stds=stds,
+        back_bone=conf.back_bone,
+        feat_stride=conf.feat_stride,
+        attention=conf.attention,
+        center_align=conf.center_align,
+        shape_align=conf.shape_align,
+        ida_dcnv2=conf.ida_dcnv2,
+        dtype=dtype,
+    )

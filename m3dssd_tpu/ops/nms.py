@@ -1,0 +1,87 @@
+"""2D NMS: on-device greedy suppression + a pure-python oracle.
+
+TPU-native replacement for the reference's CUDA bitmask NMS
+(ref:lib/nms/nms_kernel.cu:35-144) and its python oracle
+(ref:lib/nms/py_cpu_nms.py:10-38). The device version computes the pairwise
+IoU matrix in one shot (VPU) and resolves the greedy keep order with a
+`lax.fori_loop` — exact greedy NMS, static shapes, jit-safe.
+
+IoU convention matches the reference NMS kernels: areas use the +1 pixel
+convention (ref:nms_kernel.cu:25-33, py_cpu_nms.py:15-18) — note this differs
+from the training-time IoU in `ops.boxes`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _iou_matrix_plus1(boxes):
+    """Pairwise IoU with the +1 area convention, [N,4] -> [N,N]."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    w = jnp.clip(xx2 - xx1 + 1.0, 0.0, None)
+    h = jnp.clip(yy2 - yy1 + 1.0, 0.0, None)
+    inter = w * h
+    return inter / (area[:, None] + area[None, :] - inter)
+
+
+@functools.partial(jax.jit, static_argnames=("already_sorted",))
+def nms(boxes, scores, iou_thresh, already_sorted: bool = False):
+    """Greedy NMS. boxes [N,4], scores [N] -> keep mask [N] (original order).
+
+    Boxes are processed in descending score order; a box is kept iff no
+    higher-scoring kept box overlaps it above `iou_thresh`.
+    """
+    N = boxes.shape[0]
+    if already_sorted:
+        order = jnp.arange(N)
+    else:
+        order = jnp.argsort(-scores)
+    b = boxes[order]
+    iou = _iou_matrix_plus1(b)
+    over = iou > iou_thresh
+
+    def body(i, keep):
+        # suppress all later boxes overlapped by box i, iff i is still kept
+        row = over[i] & (jnp.arange(N) > i) & keep[i]
+        return keep & ~row
+
+    keep_sorted = jax.lax.fori_loop(0, N, body, jnp.ones(N, bool))
+    # scatter back to original order
+    keep = jnp.zeros(N, bool).at[order].set(keep_sorted)
+    return keep
+
+
+def py_cpu_nms(dets, thresh):
+    """Pure-python greedy NMS oracle (ref:lib/nms/py_cpu_nms.py:10-38).
+
+    dets [N,5] with score column 4; returns kept indices (descending score).
+    """
+    x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
+    scores = dets[:, 4]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        ovr = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[1:][ovr <= thresh]
+    return keep

@@ -1,0 +1,120 @@
+"""Train state, optimizer and the jitted train step.
+
+TPU-native replacement for the reference's trainer plumbing
+(ref:lib/core.py:49-102 optimizer construction, ref:scripts/train_rpn_3d.py
+training loop body). The whole update — forward, loss, backward, optimizer,
+BN running stats — is one jitted function; under a `jax.sharding.Mesh` the
+same function is partitioned by GSPMD (batch over the 'data' axis, params
+replicated) with gradient all-reduce riding ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..losses.rpn_loss import RPNLossConfig, rpn_3d_loss
+from .lr import make_lr_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+
+def make_optimizer(conf, max_iter: int,
+                   trainable_mask=None) -> optax.GradientTransformation:
+    """SGD(momentum)+wd / Adam / Adamax with the reference's LR policy
+    (ref:lib/core.py:77-99) and gradient accumulation via `batch_skip`
+    (ref:lib/core.py:116, scripts/train_rpn_3d.py:216-218)."""
+    sched = make_lr_schedule(conf, max_iter)
+    solver = conf.solver_type.lower()
+    if solver == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(conf.weight_decay),
+            optax.sgd(sched, momentum=conf.momentum))
+    elif solver == "adam":
+        tx = optax.chain(optax.add_decayed_weights(conf.weight_decay),
+                         optax.adam(sched))
+    elif solver == "adamax":
+        tx = optax.chain(optax.add_decayed_weights(conf.weight_decay),
+                         optax.adamax(sched))
+    else:
+        raise ValueError(f"solver {conf.solver_type} not supported")
+    if trainable_mask is not None:
+        tx = optax.masked(tx, trainable_mask)
+    if getattr(conf, "batch_skip", 1) and conf.batch_skip > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=conf.batch_skip)
+    return tx
+
+
+def create_train_state(conf, model, rng, max_iter: int,
+                       sample_input: Optional[np.ndarray] = None,
+                       trainable_mask_fn=None) -> TrainState:
+    """Initialize parameters and optimizer state."""
+    H, W = conf.crop_size
+    x = jnp.zeros((1, H, W, 3), jnp.float32) if sample_input is None \
+        else jnp.asarray(sample_input)
+    variables = model.init(rng, x, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    mask = None
+    if trainable_mask_fn is not None:
+        mask = jax.tree_util.tree_map_with_path(trainable_mask_fn, params)
+    tx = make_optimizer(conf, max_iter, trainable_mask=mask)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=tx.init(params),
+                      tx=tx, apply_fn=model.apply)
+
+
+def make_train_step(conf, rois: np.ndarray):
+    """Build the jitted `train_step(state, batch, rng) -> (state, stats)`.
+
+    `rois`/anchors/whitening stats are closed-over constants (the reference
+    keeps them as module buffers with device-migration hacks —
+    ref:model/M3d_inference_align.py:62-64; under SPMD they are just arrays).
+    """
+    loss_cfg = RPNLossConfig.from_conf(conf)
+    rois_c = jnp.asarray(rois[:, :5], jnp.float32)
+    anchors_c = jnp.asarray(conf.anchors, jnp.float32)
+    means_c = jnp.asarray(conf.bbox_means, jnp.float32)
+    stds_c = jnp.asarray(conf.bbox_stds, jnp.float32)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def loss_fn(params):
+            outputs, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"], train=True, mutable=["batch_stats"])
+            loss, stats = rpn_3d_loss(outputs, batch, rois_c, anchors_c,
+                                      means_c, stds_c, loss_cfg, rng)
+            return loss, (stats, mutated["batch_stats"])
+
+        grads, (stats, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, stats
+
+    return train_step
+
+
+def make_eval_forward(conf):
+    """Jitted eval forward: images -> model outputs (prob/bbox_2d/bbox_3d)."""
+    @functools.partial(jax.jit, static_argnames=("apply_fn",))
+    def forward(apply_fn, params, batch_stats, images):
+        return apply_fn({"params": params, "batch_stats": batch_stats},
+                        images, train=False)
+    return forward

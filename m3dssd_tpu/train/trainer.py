@@ -1,0 +1,113 @@
+"""The full training driver: epochs, LR, eval, checkpointing, best-model.
+
+Re-derivation of ref:scripts/train_rpn_3d.py:67-309 — the epoch loop with
+per-iteration LR (inside the jitted step here), stat display, periodic
+checkpoint + KITTI eval, and best-model selection by mean Car 3D AP-R40.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.kitti import Kitti3DDataset
+from ..data.loader import TrainLoader
+from ..inference.detect import make_detector
+from ..inference.test_driver import test_kitti_3d
+from ..models import build
+from ..parallel import make_mesh, replicate_state, shard_batch
+from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+from ..utils.logging_utils import StatTracker, compute_eta, init_logging
+from .state import create_train_state, make_train_step
+
+
+class Trainer:
+    def __init__(self, conf, data_root: str, output_dir: str,
+                 cache_folder: Optional[str] = None, use_mesh: bool = True):
+        self.conf = conf
+        self.data_root = data_root
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        init_logging(os.path.join(output_dir, "log", "train.log"))
+
+        self.dataset = Kitti3DDataset(conf, data_root, phase="train",
+                                      cache_folder=cache_folder)
+        self.loader = TrainLoader(self.dataset, conf.batch_size,
+                                  num_workers=conf.num_workers,
+                                  seed=conf.rng_seed)
+        self.steps_per_epoch = self.loader.steps_per_epoch
+        self.max_iter = conf.max_epoch * self.steps_per_epoch
+
+        # persist the resolved config with the run (ref:train_rpn_3d.py:127)
+        conf.save(os.path.join(output_dir, "conf.pkl"))
+
+        self.model = build(conf, "train")
+        rng = jax.random.PRNGKey(conf.rng_seed)
+        self.state = create_train_state(conf, self.model, rng, self.max_iter)
+        self.train_step = make_train_step(conf, self.dataset.rois)
+        self.rng = rng
+
+        self.mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            n = conf.dp_devices if conf.dp_devices > 0 else len(jax.devices())
+            self.mesh = make_mesh(n)
+            self.state = replicate_state(self.mesh, self.state)
+            logging.info("data-parallel mesh over %d devices", n)
+
+        self.best_metric = -1.0
+        self.val_dataset = None
+
+    def _eval(self, epoch: int) -> float:
+        conf = self.conf
+        if self.val_dataset is None:
+            self.val_dataset = Kitti3DDataset(conf, self.data_root,
+                                              phase="validation")
+        detect = make_detector(conf, self.dataset.rois, self.model)
+        results = os.path.join(self.output_dir, "results",
+                               f"results_{epoch}", "data")
+        gt_path = os.path.join(self.data_root,
+                               conf.datasets_validation[0]["name"],
+                               "validation", "label_2")
+        res, sel = test_kitti_3d(self.val_dataset, detect, self.state.params,
+                                 self.state.batch_stats, conf, results,
+                                 gt_path=gt_path)
+        if res:
+            logging.info("eval epoch %d: Car 3D R40 = %s", epoch,
+                         res.get("Car_3d_R40"))
+        return sel
+
+    def run(self, epochs: Optional[int] = None):
+        conf = self.conf
+        epochs = epochs or conf.max_epoch
+        tracker = StatTracker()
+        t0 = time.time()
+        it = int(self.state.step)
+
+        for epoch in range(epochs):
+            for batch in self.loader.batches(self.steps_per_epoch):
+                if self.mesh is not None:
+                    batch = shard_batch(self.mesh, batch)
+                step_rng = jax.random.fold_in(self.rng, it)
+                self.state, stats = self.train_step(self.state, batch, step_rng)
+                tracker.update({k: v for k, v in stats.items()})
+                it += 1
+                if it % max(int(conf.display_iter), 1) == 0:
+                    eta, dt = compute_eta(t0, it, self.max_iter)
+                    tracker.flush(it, extra=f"epoch {epoch} dt {dt:.3f}s eta {eta}")
+
+            if (epoch + 1) % conf.snapshot_epoch == 0 or epoch + 1 == epochs:
+                save_checkpoint(os.path.join(self.output_dir, "weights"),
+                                self.state, it)
+            if conf.do_test and (epoch + 1) % conf.eval_epoch == 0:
+                sel = self._eval(epoch + 1)
+                if sel > self.best_metric:
+                    self.best_metric = sel
+                    save_checkpoint(os.path.join(self.output_dir, "weights_best"),
+                                    self.state, it)
+                    logging.info("new best model: %.4f", sel)
+        return self.state

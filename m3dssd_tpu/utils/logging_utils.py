@@ -1,0 +1,66 @@
+"""Logging + stat tracking.
+
+Re-derivation of the reference's stats protocol (ref:lib/core.py:514-668):
+the loss returns named scalars, a tracker accumulates them between display
+intervals, and `display` flushes formatted means to the log (and tensorboard
+writer when available).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+def init_logging(log_file: Optional[str] = None, level=logging.INFO):
+    """File+stdout logging (ref:lib/util.py:103-128)."""
+    handlers = [logging.StreamHandler(sys.stdout)]
+    if log_file:
+        os.makedirs(os.path.dirname(log_file), exist_ok=True)
+        handlers.append(logging.FileHandler(log_file))
+    logging.basicConfig(
+        level=level, handlers=handlers, force=True,
+        format="%(asctime)s %(levelname)s %(message)s", datefmt="%H:%M:%S")
+
+
+def compute_eta(start_time, idx, total):
+    """ETA string (ref:lib/util.py:145-166)."""
+    dt = (time.time() - start_time) / max(idx, 1)
+    remaining = dt * (total - idx)
+    h, rem = divmod(int(remaining), 3600)
+    m, s = divmod(rem, 60)
+    return f"{h}h{m}m{s}s", dt
+
+
+class StatTracker:
+    """Accumulate named scalars; flush means every display interval."""
+
+    def __init__(self, writer=None, prefix: str = "Train"):
+        self.sums: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+        self.writer = writer
+        self.prefix = prefix
+
+    def update(self, stats: Dict[str, float]):
+        for k, v in stats.items():
+            self.sums[k] += float(v)
+            self.counts[k] += 1
+
+    def means(self) -> Dict[str, float]:
+        return {k: self.sums[k] / max(self.counts[k], 1) for k in self.sums}
+
+    def flush(self, step: int, extra: str = "") -> str:
+        means = self.means()
+        parts = [f"{k}={v:.4f}" for k, v in sorted(means.items())]
+        msg = f"step {step} {extra} " + ", ".join(parts)
+        logging.info(msg)
+        if self.writer is not None:
+            for k, v in means.items():
+                self.writer.add_scalar(f"{self.prefix}/{k}", v, step)
+        self.sums.clear()
+        self.counts.clear()
+        return msg

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Standalone evaluation CLI (re-derivation of ref:scripts/test_rpn_3d.py).
+
+Loads the run's pickled config + a checkpoint and runs the KITTI test driver.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--run_dir", required=True, help="training output dir")
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--phase", default="validation")
+    args = p.parse_args()
+
+    import jax
+    from m3dssd_tpu.config import Config
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.anchors import locate_anchors
+    from m3dssd_tpu.inference.detect import make_detector
+    from m3dssd_tpu.inference.test_driver import test_kitti_3d
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.train.state import create_train_state
+    from m3dssd_tpu.utils.checkpoint import restore_checkpoint, latest_step
+
+    conf = Config.load(os.path.join(args.run_dir, "conf.pkl"))
+    model = build(conf, "test")
+    state = create_train_state(conf, model, jax.random.PRNGKey(0), max_iter=1)
+    state = restore_checkpoint(os.path.join(args.run_dir, "weights"), state,
+                               args.step)
+
+    dataset = Kitti3DDataset(conf, args.data_root, phase=args.phase)
+    rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
+    detect = make_detector(conf, rois, model)
+    step = args.step or latest_step(os.path.join(args.run_dir, "weights"))
+    results = os.path.join(args.run_dir, "results", f"results_test_{step}",
+                           "data")
+    gt_path = os.path.join(args.data_root,
+                           conf.datasets_validation[0]["name"],
+                           args.phase, "label_2")
+    res, sel = test_kitti_3d(dataset, detect, state.params, state.batch_stats,
+                             conf, results,
+                             gt_path=gt_path if os.path.isdir(gt_path) else None)
+    if res:
+        print(res["_text"])
+        print("selection metric (mean Car 3D R40):", sel)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Loss semantics and train-step tests (incl. multi-device mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3dssd_tpu.anchors import locate_anchors
+from m3dssd_tpu.losses.rpn_loss import IGN_FLAG, RPNLossConfig, rpn_3d_loss
+from m3dssd_tpu.ops.boxes import bbox_transform_inv, smooth_l1
+
+
+def _toy_setup(B=2, A=2, H=4, W=5, C=4, seed=0):
+    rng = np.random.default_rng(seed)
+    N = A * H * W
+    anchors = np.concatenate([
+        np.tile(np.array([[-16., -16., 16., 16.], [-8., -24., 8., 24.]]),
+                (A // 2, 1))[:A],
+        np.abs(rng.normal(20, 3, [A, 1])),
+        np.abs(rng.normal(2, .2, [A, 3])),
+        rng.uniform(-1, 1, [A, 1])], axis=1)
+    rois = locate_anchors(anchors, [H, W], 8)
+    outputs = {
+        "cls": jnp.array(rng.normal(size=(B, N, C)).astype(np.float32)),
+        "bbox_2d": jnp.array(rng.normal(size=(B, N, 4)).astype(np.float32) * .1),
+        "bbox_3d": jnp.array(rng.normal(size=(B, N, 7)).astype(np.float32) * .1),
+    }
+    outputs["prob"] = jax.nn.softmax(outputs["cls"], axis=-1)
+    labels = np.zeros((B, N), np.int32)
+    fg = np.zeros((B, N), np.int8)
+    ign = np.zeros((B, N), np.int8)
+    # image 0: two fg anchors, one ignored; image 1: all bg
+    i1, i2, i3 = 3 % N, 10 % N, 20 % N
+    labels[0, i1] = 1; fg[0, i1] = 1
+    labels[0, i2] = 2; fg[0, i2] = 1
+    labels[0, i3] = IGN_FLAG; ign[0, i3] = 1
+    bg = ((fg == 0) & (ign == 0)).astype(np.int8)
+    batch = {
+        "labels": jnp.array(labels),
+        "labels_fg": jnp.array(fg),
+        "labels_bg": jnp.array(bg),
+        "labels_ign": jnp.array(ign),
+        "bbox_2d": jnp.array(rng.normal(size=(B, N, 4)).astype(np.float32) * .1),
+        "bbox_3d": jnp.array(rng.normal(size=(B, N, 7)).astype(np.float32) * .1),
+        "any_val": jnp.array([1, 1], jnp.int32),
+    }
+    means = np.zeros([1, 11]); stds = np.ones([1, 11])
+    return outputs, batch, rois, anchors, means, stds
+
+
+def test_loss_finite_and_components():
+    outputs, batch, rois, anchors, means, stds = _toy_setup()
+    cfg = RPNLossConfig()
+    loss, stats = rpn_3d_loss(outputs, batch, rois, anchors, means, stds, cfg)
+    assert np.isfinite(float(loss))
+    for k in ["loss_cls", "loss_bbox3d", "loss_iou", "iou", "err_z", "err_ry"]:
+        assert k in stats and np.isfinite(float(stats[k])), k
+    assert float(stats["fg_count"]) == 2  # both fg selected (budget >> 2)
+
+
+def test_loss_zero_when_pred_equals_target():
+    """With perfect 3D predictions the 3D loss term is 0 and IoU loss ~0."""
+    outputs, batch, rois, anchors, means, stds = _toy_setup()
+    outputs = dict(outputs)
+    outputs["bbox_3d"] = batch["bbox_3d"]
+    outputs["bbox_2d"] = batch["bbox_2d"]
+    cfg = RPNLossConfig(cls_2d_lambda=0.0)
+    loss, stats = rpn_3d_loss(outputs, batch, rois, anchors, means, stds, cfg)
+    np.testing.assert_allclose(float(stats["loss_bbox3d"]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(stats["iou"]), 1.0, atol=1e-4)
+    np.testing.assert_allclose(float(stats["loss_iou"]), 0.0, atol=1e-4)
+
+
+def test_hard_negative_selection_picks_lowest_scores():
+    """With a tiny bg budget, the selected bg anchors must be the ones the
+    classifier is most wrong about (lowest bg prob)."""
+    outputs, batch, rois, anchors, means, stds = _toy_setup(B=1, A=2, H=2, W=2)
+    N = outputs["cls"].shape[1]
+    # craft prob: bg prob ascending with index
+    logits = np.zeros((1, N, 4), np.float32)
+    logits[0, :, 0] = np.linspace(-3, 3, N)  # later anchors more confident bg
+    outputs = dict(outputs)
+    outputs["cls"] = jnp.array(logits)
+    outputs["prob"] = jax.nn.softmax(outputs["cls"], axis=-1)
+    labels = np.zeros((1, N), np.int32)
+    fg = np.zeros((1, N), np.int8); fg[0, 0] = 1; labels[0, 0] = 1
+    bg = ((fg == 0)).astype(np.int8)
+    batch = dict(batch)
+    batch["labels"] = jnp.array(labels)
+    batch["labels_fg"] = jnp.array(fg)
+    batch["labels_bg"] = jnp.array(bg)
+    batch["labels_ign"] = jnp.zeros((1, N), jnp.int8)
+    batch["bbox_2d"] = batch["bbox_2d"][:, :N]
+    batch["bbox_3d"] = batch["bbox_3d"][:, :N]
+    batch["any_val"] = jnp.array([1], jnp.int32)
+
+    # box_samples st total budget = 3 -> bg budget = 3 - 1 = 2
+    cfg = RPNLossConfig(box_samples=3.0 / N, fg_fraction=1.0 / 3.0)
+    loss, stats = rpn_3d_loss(outputs, batch, rois, anchors, means, stds, cfg)
+    # the 2 hardest bg anchors (idx 1, 2 after fg idx 0) have lowest bg prob
+    assert float(stats["bg_count"]) == 2
+    assert float(stats["fg_count"]) == 1
+
+
+def test_empty_image_contributes_nothing():
+    outputs, batch, rois, anchors, means, stds = _toy_setup()
+    batch = dict(batch)
+    batch["any_val"] = jnp.array([0, 0], jnp.int32)
+    cfg = RPNLossConfig()
+    loss, stats = rpn_3d_loss(outputs, batch, rois, anchors, means, stds, cfg)
+    assert float(stats["fg_count"]) == 0
+    assert float(stats["bg_count"]) == 0
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
+
+
+def test_smooth_l1():
+    x = jnp.array([0.0, 0.5, 1.0, 2.0, -3.0])
+    got = np.asarray(smooth_l1(x, jnp.zeros(5)))
+    np.testing.assert_allclose(got, [0.0, 0.125, 0.5, 1.5, 2.5], atol=1e-6)
+
+
+def test_bbox_transform_inv_matches_numpy():
+    from m3dssd_tpu import geometry as geo
+    rng = np.random.default_rng(0)
+    rois = np.stack([rng.uniform(0, 50, 7), rng.uniform(0, 50, 7),
+                     rng.uniform(60, 100, 7), rng.uniform(60, 100, 7)], axis=1)
+    deltas = rng.normal(size=(7, 4)) * 0.3
+    means = rng.normal(size=4) * 0.1
+    stds = rng.uniform(0.5, 2.0, 4)
+    got = np.asarray(bbox_transform_inv(jnp.array(rois), jnp.array(deltas),
+                                        jnp.array(means), jnp.array(stds)))
+    want = geo.bbox_transform_inv(rois, deltas.copy(), means, stds)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end train step
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_train_setup(synthetic_kitti, tiny_conf):
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.data.loader import TrainLoader
+    conf = tiny_conf.replace(anchors=None)
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
+    loader = TrainLoader(ds, batch_size=2, num_workers=2, seed=0)
+    return conf, ds, loader
+
+
+def test_train_step_runs_and_loss_decreases(tiny_train_setup):
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.train.state import create_train_state, make_train_step
+
+    conf, ds, loader = tiny_train_setup
+    conf = conf.replace(lr=0.01, warmup=0.0)
+    model = build(conf)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(conf, model, rng, max_iter=100)
+    train_step = make_train_step(conf, ds.rois)
+
+    batch = next(iter(loader.batches(1)))
+    losses = []
+    for i in range(8):
+        state, stats = train_step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(stats["loss"]))
+    assert np.isfinite(losses).all()
+    # overfitting a single batch must reduce the loss
+    assert losses[-1] < losses[0], losses
+
+
+def test_train_step_on_8_device_mesh(tiny_train_setup):
+    """The same jitted step partitioned over a 'data' mesh axis."""
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from m3dssd_tpu.train.state import create_train_state, make_train_step
+
+    conf, ds, loader = tiny_train_setup
+    model = build(conf)
+    state = create_train_state(conf, model, jax.random.PRNGKey(0), max_iter=100)
+    train_step = make_train_step(conf, ds.rois)
+
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    batch = next(iter(loader.batches(1)))
+    # pad batch to 8 images so it shards evenly
+    batch8 = {k: np.concatenate([np.asarray(v)] * 4, axis=0)
+              for k, v in batch.items()}
+    with mesh:
+        sharded = shard_batch(mesh, batch8)
+        state_r = replicate_state(mesh, state)
+        new_state, stats = train_step(state_r, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(stats["loss"]))
+    # params actually updated
+    diff = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), jax.tree_util.tree_map(
+            lambda a, b: a - b, new_state.params, state.params), 0.0)
+    assert diff > 0
