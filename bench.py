@@ -26,6 +26,13 @@ SHAPE = (512, 1760)
 
 def main():
     import jax
+
+    # persistent compilation cache: the DLA-102 graph is large (deep
+    # recursive trees) and costs minutes to compile; cache across runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -41,7 +48,10 @@ def main():
     rng = jax.random.PRNGKey(0)
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(1, SHAPE[0], SHAPE[1], 3)).astype(np.float32))
-    variables = model.init(rng, x, train=False)
+    # params are input-size independent: init at a tiny shape to avoid
+    # compiling the full-resolution forward twice
+    variables = model.init(rng, jnp.zeros((1, 64, 128, 3), jnp.float32),
+                           train=False)
     detect = make_detector(conf, rois, model)
 
     params, bs = variables["params"], variables.get("batch_stats", {})

@@ -137,6 +137,12 @@ class Config:
 
     pretrained: Optional[str] = None
 
+    # layer freezing (ref:lib/core.py:444-474): params whose path contains a
+    # blacklist substring (or, with a whitelist, does NOT contain any
+    # whitelist substring) receive no optimizer updates
+    freeze_blacklist: Optional[List[str]] = None
+    freeze_whitelist: Optional[List[str]] = None
+
     # ---------------------------------------------------------------- parallel
     # data-parallel mesh size; -1 means "all local devices"
     dp_devices: int = -1

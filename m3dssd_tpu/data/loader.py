@@ -57,6 +57,11 @@ def collate(samples) -> Dict[str, np.ndarray]:
         t0 = samples[0]["target"]
         for k in t0:
             batch[k] = np.stack([np.asarray(s["target"][k]) for s in samples], axis=0)
+    # camera matrices travel with the batch (needed by the 3D-projection /
+    # rotated-IoU loss capabilities)
+    if "meta" in samples[0] and "p2_inv" in samples[0]["meta"]:
+        batch["p2_inv"] = np.stack(
+            [np.asarray(s["meta"]["p2_inv"], np.float32) for s in samples], 0)
     return batch
 
 

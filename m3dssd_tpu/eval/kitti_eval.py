@@ -206,7 +206,11 @@ def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
 def _image_overlaps(gt_annos, dt_annos, metric):
     """Per-image [num_dt, num_gt] overlap matrices (ref::340-436
     calculate_iou_partly, without the partitioning — numpy batches per image
-    are already vectorized)."""
+    are already vectorized). Uses the native C++ kernels when built."""
+    from . import native
+    use_native = native.available()
+    riou = native.rotated_iou if use_native else rotate_iou
+    d3 = native.d3_box_overlap if use_native else d3_box_overlap
     overlaps = []
     for gt, dt in zip(gt_annos, dt_annos):
         if metric == 0:
@@ -218,13 +222,13 @@ def _image_overlaps(gt_annos, dt_annos, metric):
             db = np.concatenate([dt["location"][:, [0, 2]],
                                  dt["dimensions"][:, [0, 2]],
                                  dt["rotation_y"][:, None]], axis=1)
-            o = rotate_iou(db, gb)
+            o = riou(db, gb)
         elif metric == 2:
             gb = np.concatenate([gt["location"], gt["dimensions"],
                                  gt["rotation_y"][:, None]], axis=1)
             db = np.concatenate([dt["location"], dt["dimensions"],
                                  dt["rotation_y"][:, None]], axis=1)
-            o = d3_box_overlap(db, gb)
+            o = d3(db, gb)
         else:
             raise ValueError("unknown metric")
         overlaps.append(o.astype(np.float64))
@@ -255,6 +259,9 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                min_overlaps, compute_aos=False):
     """AP curves per (class, difficulty, min_overlap) (ref::448-552)."""
     assert len(gt_annos) == len(dt_annos)
+    from . import native
+    use_native = native.available()
+    stats_fn = native.compute_statistics if use_native else compute_statistics
     overlaps = _image_overlaps(gt_annos, dt_annos, metric)
 
     num_class = len(current_classes)
@@ -273,7 +280,7 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
             for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
                 thresholdss = []
                 for i in range(len(gt_annos)):
-                    _, _, _, _, th = compute_statistics(
+                    _, _, _, _, th = stats_fn(
                         overlaps[i], gt_datas_list[i], dt_datas_list[i],
                         ignored_gts[i], ignored_dets[i], dontcares[i],
                         metric, min_overlap=min_overlap, compute_fp=False)
@@ -283,18 +290,26 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                 thresholds = np.array(get_thresholds(
                     np.array(thresholdss), total_num_valid_gt))
                 pr = np.zeros([len(thresholds), 4])
-                for i in range(len(gt_annos)):
-                    for t, thresh in enumerate(thresholds):
-                        tp, fp, fn, sim, _ = compute_statistics(
+                if use_native:
+                    for i in range(len(gt_annos)):
+                        native.fused_statistics(
                             overlaps[i], gt_datas_list[i], dt_datas_list[i],
                             ignored_gts[i], ignored_dets[i], dontcares[i],
-                            metric, min_overlap=min_overlap, thresh=thresh,
-                            compute_fp=True, compute_aos=compute_aos)
-                        pr[t, 0] += tp
-                        pr[t, 1] += fp
-                        pr[t, 2] += fn
-                        if sim != -1:
-                            pr[t, 3] += sim
+                            metric, min_overlap, thresholds, compute_aos, pr)
+                else:
+                    for i in range(len(gt_annos)):
+                        for t, thresh in enumerate(thresholds):
+                            tp, fp, fn, sim, _ = compute_statistics(
+                                overlaps[i], gt_datas_list[i],
+                                dt_datas_list[i], ignored_gts[i],
+                                ignored_dets[i], dontcares[i], metric,
+                                min_overlap=min_overlap, thresh=thresh,
+                                compute_fp=True, compute_aos=compute_aos)
+                            pr[t, 0] += tp
+                            pr[t, 1] += fp
+                            pr[t, 2] += fn
+                            if sim != -1:
+                                pr[t, 3] += sim
                 for i in range(len(thresholds)):
                     recall[m, l, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 2])
                     precision[m, l, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 1])

@@ -16,18 +16,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.boxes import bbox_transform_inv, decode_bbox_3d
-from ..ops.nms import nms
+from ..ops.nms import nms_select
 
 # detection table columns (matches ref aboxes layout :1550)
 DET_COLS = ["x1", "y1", "x2", "y2", "score", "cls",
             "x3d", "y3d", "z3d", "w3d", "h3d", "l3d", "ry3d", "tracker"]
 
 
-def make_detector(conf, rois: np.ndarray, model=None):
+def make_detector(conf, rois: np.ndarray, model=None,
+                  use_topk_pre: bool = False):
     """Build `detect(params, batch_stats, image, scale_factor) -> dets`.
 
     dets is a [nms_topN_post, 14] float32 array (DET_COLS); rows with
     score <= 0 are padding. `image` is [1, H, W, 3] preprocessed.
+
+    `use_topk_pre=False` (default) decodes ALL anchors and runs the
+    select-style NMS directly — no pre-NMS top-k cutoff. The reference's
+    top-3000 pre-filter (ref::1541-1544) is a GPU-memory optimization, not a
+    semantic choice: skipping it considers a superset of candidates (equal or
+    better recall) and avoids a full TPU sort (~20 ms + minutes of compile).
+    Set True for strict reference behavior.
     """
     rois_c = jnp.asarray(rois[:, :5], jnp.float32)
     anchors_c = jnp.asarray(conf.anchors, jnp.float32)
@@ -38,6 +46,11 @@ def make_detector(conf, rois: np.ndarray, model=None):
     nms_thres = float(conf.nms_thres)
     apply_fn = model.apply
 
+    # per-roi anchor 3D priors are constants: fold the gather now
+    tracker_np = rois[:, 4].astype(np.int32)
+    src3d_all = jnp.asarray(np.asarray(conf.anchors)[tracker_np, 4:9],
+                            jnp.float32)
+
     @jax.jit
     def detect(params, batch_stats, image, scale_factor):
         out = apply_fn({"params": params, "batch_stats": batch_stats},
@@ -47,34 +60,83 @@ def make_detector(conf, rois: np.ndarray, model=None):
         bbox_3d = out["bbox_3d"][0].astype(jnp.float32)    # [N, 7]
 
         scores = jnp.max(prob[:, 1:], axis=1)
-        cls_pred = jnp.argmax(prob[:, 1:], axis=1) + 1
+        cls_pred = (jnp.argmax(prob[:, 1:], axis=1) + 1).astype(jnp.float32)
 
-        # top-k pre-NMS (ref::1541-1544)
-        top_scores, top_idx = jax.lax.top_k(scores, top_pre)
-        rois_k = rois_c[top_idx]
-        tracker = rois_k[:, 4].astype(jnp.int32)
-        src3d = anchors_c[tracker][:, 4:9]
+        if use_topk_pre:
+            top_scores, top_idx = jax.lax.top_k(scores, top_pre)
+            rois_k = rois_c[top_idx]
+            src3d = src3d_all[top_idx]
+            d2, d3 = bbox_2d[top_idx], bbox_3d[top_idx]
+            cls_k = cls_pred[top_idx]
+            trk = rois_k[:, 4]
+        else:
+            top_scores = scores
+            rois_k, src3d = rois_c, src3d_all
+            d2, d3, cls_k = bbox_2d, bbox_3d, cls_pred
+            trk = rois_c[:, 4]
 
-        coords_2d = bbox_transform_inv(rois_k[:, :4], bbox_2d[top_idx],
+        coords_2d = bbox_transform_inv(rois_k[:, :4], d2,
                                        means_c[0:4], stds_c[0:4])
-        coords_3d = decode_bbox_3d(rois_k[:, :4], bbox_3d[top_idx], src3d,
-                                   means_c, stds_c)
+        coords_3d = decode_bbox_3d(rois_k[:, :4], d3, src3d, means_c, stds_c)
         # rescale image-plane quantities to the original resolution
         coords_2d = coords_2d / scale_factor
         coords_3d = coords_3d.at[:, 0:2].divide(scale_factor)
 
-        keep = nms(coords_2d, top_scores, nms_thres, already_sorted=True)
-        kept_scores = jnp.where(keep, top_scores, -1.0)
-
-        # final top_post selection among kept boxes
-        final_scores, fi = jax.lax.top_k(kept_scores, top_post)
+        # greedy NMS, keeping only the top_post survivors (exact: the first
+        # `top_post` kept boxes of full greedy NMS)
+        fi, valid = nms_select(coords_2d, top_scores, nms_thres, top_post)
+        final_scores = jnp.where(valid, top_scores[fi], -1.0)
         dets = jnp.concatenate([
             coords_2d[fi],
             final_scores[:, None],
-            cls_pred[top_idx][fi][:, None].astype(jnp.float32),
+            cls_k[fi][:, None],
             coords_3d[fi],
-            tracker[fi][:, None].astype(jnp.float32),
+            trk[fi][:, None],
         ], axis=1)
         return dets
+
+    return detect
+
+
+def make_batch_detector(conf, rois: np.ndarray, model=None):
+    """Batched variant: `detect(params, batch_stats, images [B,H,W,3],
+    scale_factors [B]) -> dets [B, top_post, 14]`.
+
+    The reference tests at batch 1 (ref:lib/dataloader.py:906); batching the
+    eval forward is AP-neutral throughput (decode + NMS vmap across images).
+    """
+    rois_c = jnp.asarray(rois[:, :5], jnp.float32)
+    means_c = jnp.asarray(conf.bbox_means, jnp.float32).reshape(-1)
+    stds_c = jnp.asarray(conf.bbox_stds, jnp.float32).reshape(-1)
+    top_post = int(conf.nms_topN_post)
+    nms_thres = float(conf.nms_thres)
+    apply_fn = model.apply
+
+    tracker_np = rois[:, 4].astype(np.int32)
+    src3d_all = jnp.asarray(np.asarray(conf.anchors)[tracker_np, 4:9],
+                            jnp.float32)
+
+    def _one(prob, bbox_2d, bbox_3d, scale_factor):
+        scores = jnp.max(prob[:, 1:], axis=1)
+        cls_pred = (jnp.argmax(prob[:, 1:], axis=1) + 1).astype(jnp.float32)
+        coords_2d = bbox_transform_inv(rois_c[:, :4], bbox_2d,
+                                       means_c[0:4], stds_c[0:4]) / scale_factor
+        coords_3d = decode_bbox_3d(rois_c[:, :4], bbox_3d, src3d_all,
+                                   means_c, stds_c)
+        coords_3d = coords_3d.at[:, 0:2].divide(scale_factor)
+        fi, valid = nms_select(coords_2d, scores, nms_thres, top_post)
+        final_scores = jnp.where(valid, scores[fi], -1.0)
+        return jnp.concatenate([
+            coords_2d[fi], final_scores[:, None], cls_pred[fi][:, None],
+            coords_3d[fi], rois_c[fi, 4][:, None]], axis=1)
+
+    @jax.jit
+    def detect(params, batch_stats, images, scale_factors):
+        out = apply_fn({"params": params, "batch_stats": batch_stats},
+                       images, train=False)
+        return jax.vmap(_one)(out["prob"].astype(jnp.float32),
+                              out["bbox_2d"].astype(jnp.float32),
+                              out["bbox_3d"].astype(jnp.float32),
+                              scale_factors.astype(jnp.float32))
 
     return detect

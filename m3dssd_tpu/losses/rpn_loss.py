@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.boxes import (bbox_transform_inv, decode_bbox_3d, iou_list,
+from ..ops.boxes import (backproject, bbox_transform_inv,
+                         convert_alpha_to_rot, decode_bbox_3d, iou_list,
                          masked_mean, smooth_l1)
 
 IGN_FLAG = 3000
@@ -48,6 +49,8 @@ class RPNLossConfig:
     iou_2d_lambda: float = 1.0
     bbox_2d_lambda: float = 0.0
     bbox_3d_lambda: float = 1.0
+    bbox_3d_proj_lambda: float = 0.0
+    bbox_3d_iou_lambda: float = 0.0
 
     @staticmethod
     def from_conf(conf) -> "RPNLossConfig":
@@ -56,7 +59,9 @@ class RPNLossConfig:
             hard_negatives=conf.hard_negatives, focal_loss=conf.focal_loss,
             cls_2d_lambda=conf.cls_2d_lambda, iou_2d_lambda=conf.iou_2d_lambda,
             bbox_2d_lambda=conf.bbox_2d_lambda,
-            bbox_3d_lambda=conf.bbox_3d_lambda)
+            bbox_3d_lambda=conf.bbox_3d_lambda,
+            bbox_3d_proj_lambda=conf.bbox_3d_proj_lambda,
+            bbox_3d_iou_lambda=conf.bbox_3d_iou_lambda)
 
 
 def _rank_select(score, pool_mask, budget, key):
@@ -212,6 +217,41 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
                                  bbox_weights)
     stats["err_ry"] = masked_mean(jnp.abs(dec[..., 6] - dec_tar[..., 6]),
                                   bbox_weights)
+
+    # ------------------------- 3D projection / rotated-IoU loss capabilities
+    # (ref:lib/loss/rpn_3d.py:606-630 bbox_3d_proj branch; the 3D-IoU lambda
+    # backed by ref:lib/utils/iou3d — both zero in stock configs)
+    if (cfg.bbox_3d_proj_lambda or cfg.bbox_3d_iou_lambda) \
+            and "p2_inv" in batch:
+        p2_inv = batch["p2_inv"].astype(jnp.float32)     # [B,4,4]
+
+        def cam_boxes(d):
+            c3 = backproject(p2_inv[:, None], d[..., 0], d[..., 1], d[..., 2])
+            ry = convert_alpha_to_rot(d[..., 6], c3[..., 2], c3[..., 0])
+            # camera-frame [x, y(bottom), z, h, w, l, ry]
+            return jnp.stack([c3[..., 0], c3[..., 1] + d[..., 4] / 2,
+                              c3[..., 2], d[..., 4], d[..., 3], d[..., 5],
+                              ry], axis=-1)
+
+        cams = cam_boxes(dec)
+        cams_tar = jax.lax.stop_gradient(cam_boxes(dec_tar))
+
+        if cfg.bbox_3d_proj_lambda:
+            proj_l1 = smooth_l1(cams[..., 0:3], cams_tar[..., 0:3]).sum(-1)
+            loss_proj = masked_mean(proj_l1, bbox_weights) \
+                * cfg.bbox_3d_proj_lambda
+            loss = loss + loss_proj
+            stats["loss_bbox3d_proj"] = loss_proj
+
+        if cfg.bbox_3d_iou_lambda:
+            from ..ops.iou3d import giou_3d
+            flat = cams.reshape(-1, 7)
+            flat_tar = cams_tar.reshape(-1, 7)
+            g, _ = giou_3d(flat, flat_tar)
+            loss_giou = masked_mean((1.0 - g).reshape(B, N), bbox_weights) \
+                * cfg.bbox_3d_iou_lambda
+            loss = loss + loss_giou
+            stats["loss_bbox3d_iou"] = loss_giou
 
     stats["loss"] = loss
     stats["fg_count"] = fg_total.astype(jnp.float32)

@@ -82,6 +82,22 @@ def iou_matrix(box_a, box_b):
     return inter / (area_a[:, None] + area_b[None, :] - inter)
 
 
+def convert_alpha_to_rot(alpha, z3d, x3d):
+    """alpha -> rotY on the viewing ray (jnp twin of ref:lib/util.py:516-524).
+    Wraps to (-pi, pi]."""
+    ry = alpha + jnp.arctan2(-z3d, x3d) + 0.5 * jnp.pi
+    return ry - jnp.round(ry / (2 * jnp.pi)) * 2 * jnp.pi
+
+
+def backproject(p2_inv, x2d, y2d, z):
+    """Back-project image points at depth z: returns [..., 4] camera coords.
+
+    p2_inv [..., 4, 4] broadcastable against point arrays.
+    """
+    pts = jnp.stack([x2d * z, y2d * z, z, jnp.ones_like(z)], axis=-1)
+    return jnp.einsum("...ij,...j->...i", p2_inv, pts)
+
+
 def smooth_l1(pred, target):
     """Huber/smooth-L1 with beta=1 (torch F.smooth_l1_loss semantics)."""
     d = jnp.abs(pred - target)

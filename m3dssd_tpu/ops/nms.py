@@ -61,6 +61,47 @@ def nms(boxes, scores, iou_thresh, already_sorted: bool = False):
     return keep
 
 
+@functools.partial(jax.jit, static_argnames=("num_out",))
+def nms_select(boxes, scores, iou_thresh, num_out: int):
+    """Greedy NMS returning only the first `num_out` survivors.
+
+    Exactly equivalent to full greedy NMS followed by keeping the top
+    `num_out` kept boxes, but runs `num_out` sequential steps instead of N:
+    each step picks the highest-scoring active box and suppresses its
+    overlaps (the IoU row is computed on the fly — no NxN matrix).
+
+    Returns (indices [num_out] int32, valid [num_out] bool).
+    """
+    N = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+
+    def body(k, carry):
+        active_scores, idxs, valid = carry
+        i = jnp.argmax(active_scores)
+        ok = active_scores[i] > neg_inf
+        idxs = idxs.at[k].set(i.astype(jnp.int32))
+        valid = valid.at[k].set(ok)
+        # IoU of box i against all boxes (+1 convention)
+        xx1 = jnp.maximum(x1[i], x1)
+        yy1 = jnp.maximum(y1[i], y1)
+        xx2 = jnp.minimum(x2[i], x2)
+        yy2 = jnp.minimum(y2[i], y2)
+        inter = jnp.clip(xx2 - xx1 + 1.0, 0.0, None) \
+            * jnp.clip(yy2 - yy1 + 1.0, 0.0, None)
+        iou = inter / (area[i] + area - inter)
+        suppress = (iou > iou_thresh) | (jnp.arange(N) == i)
+        active_scores = jnp.where(ok & suppress, neg_inf, active_scores)
+        return active_scores, idxs, valid
+
+    init = (scores.astype(jnp.float32),
+            jnp.zeros(num_out, jnp.int32),
+            jnp.zeros(num_out, bool))
+    _, idxs, valid = jax.lax.fori_loop(0, num_out, body, init)
+    return idxs, valid
+
+
 def py_cpu_nms(dets, thresh):
     """Pure-python greedy NMS oracle (ref:lib/nms/py_cpu_nms.py:10-38).
 

@@ -52,22 +52,51 @@ def make_optimizer(conf, max_iter: int,
     else:
         raise ValueError(f"solver {conf.solver_type} not supported")
     if trainable_mask is not None:
-        tx = optax.masked(tx, trainable_mask)
+        # frozen leaves get zero updates (optax.masked would pass the raw
+        # gradient through for masked-out leaves)
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", trainable_mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
     if getattr(conf, "batch_skip", 1) and conf.batch_skip > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=conf.batch_skip)
     return tx
 
 
+def freeze_mask_fn(conf):
+    """Trainable-mask from freeze_blacklist / freeze_whitelist
+    (ref:lib/core.py:444-474). Returns None when nothing is frozen."""
+    bl = conf.freeze_blacklist
+    wl = conf.freeze_whitelist
+    if not bl and not wl:
+        return None
+
+    def fn(path, _leaf):
+        name = jax.tree_util.keystr(path)
+        if bl and any(p in name for p in bl):
+            return False
+        if wl and not any(p in name for p in wl):
+            return False
+        return True
+
+    return fn
+
+
 def create_train_state(conf, model, rng, max_iter: int,
                        sample_input: Optional[np.ndarray] = None,
                        trainable_mask_fn=None) -> TrainState:
-    """Initialize parameters and optimizer state."""
-    H, W = conf.crop_size
-    x = jnp.zeros((1, H, W, 3), jnp.float32) if sample_input is None \
+    """Initialize parameters and optimizer state.
+
+    Init uses a small dummy input — parameter shapes are input-size
+    independent, and this avoids compiling a full-resolution forward.
+    """
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32) if sample_input is None \
         else jnp.asarray(sample_input)
     variables = model.init(rng, x, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if trainable_mask_fn is None:
+        trainable_mask_fn = freeze_mask_fn(conf)
     mask = None
     if trainable_mask_fn is not None:
         mask = jax.tree_util.tree_map_with_path(trainable_mask_fn, params)

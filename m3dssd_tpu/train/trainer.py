@@ -26,9 +26,19 @@ from ..utils.logging_utils import StatTracker, compute_eta, init_logging
 from .state import create_train_state, make_train_step
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache — the deep DLA graphs cost minutes to
+    compile; cache hits make restarts/evals near-instant."""
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir",
+                       os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 class Trainer:
     def __init__(self, conf, data_root: str, output_dir: str,
                  cache_folder: Optional[str] = None, use_mesh: bool = True):
+        enable_compilation_cache()
         self.conf = conf
         self.data_root = data_root
         self.output_dir = output_dir

@@ -110,3 +110,30 @@ def test_graft_entry_single_chip():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_batch_detector_matches_single(synthetic_kitti, tiny_conf):
+    """The batched detector must produce the same detections as the bs=1
+    detector for each image."""
+    import jax.numpy as jnp
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.inference.detect import make_batch_detector, make_detector
+    from m3dssd_tpu.models import build
+
+    conf = tiny_conf.replace(anchors=None)
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
+    val = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
+    model = build(conf)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 128, 3), jnp.float32), train=False)
+    p, bs = v["params"], v.get("batch_stats", {})
+
+    d1 = make_detector(conf, ds.rois, model)
+    dB = make_batch_detector(conf, ds.rois, model)
+
+    imgs = np.stack([val[i]["input"] for i in range(2)], axis=0)
+    sfs = np.ones(2, np.float32)
+    batch_out = np.asarray(dB(p, bs, imgs, jnp.array(sfs)))
+    for i in range(2):
+        single = np.asarray(d1(p, bs, imgs[i:i + 1], np.float32(1.0)))
+        np.testing.assert_allclose(batch_out[i], single, rtol=1e-4, atol=1e-3)

@@ -195,3 +195,51 @@ def test_train_step_on_8_device_mesh(tiny_train_setup):
         lambda a, x: a + float(jnp.sum(jnp.abs(x))), jax.tree_util.tree_map(
             lambda a, b: a - b, new_state.params, state.params), 0.0)
     assert diff > 0
+
+
+def test_loss_3d_proj_and_iou_branches():
+    """Capability branches bbox_3d_proj_lambda / bbox_3d_iou_lambda run and
+    are zero for perfect predictions."""
+    outputs, batch, rois, anchors, means, stds = _toy_setup()
+    B = outputs["cls"].shape[0]
+    p2 = np.eye(4); p2[0, 0] = p2[1, 1] = 700.0
+    p2[0, 2] = 300.0; p2[1, 2] = 90.0
+    batch = dict(batch)
+    batch["p2_inv"] = jnp.array(np.tile(np.linalg.inv(p2), (B, 1, 1)),
+                                jnp.float32)
+    cfg = RPNLossConfig(cls_2d_lambda=0, iou_2d_lambda=0, bbox_3d_lambda=0,
+                        bbox_3d_proj_lambda=1.0, bbox_3d_iou_lambda=1.0)
+    loss, stats = rpn_3d_loss(outputs, batch, rois, anchors, means, stds, cfg)
+    assert np.isfinite(float(loss))
+    assert "loss_bbox3d_proj" in stats and "loss_bbox3d_iou" in stats
+
+    # perfect prediction -> proj loss 0; giou(a,a) close to max
+    outputs2 = dict(outputs)
+    outputs2["bbox_3d"] = batch["bbox_3d"]
+    loss2, stats2 = rpn_3d_loss(outputs2, batch, rois, anchors, means, stds,
+                                cfg)
+    np.testing.assert_allclose(float(stats2["loss_bbox3d_proj"]), 0.0,
+                               atol=1e-5)
+    assert float(stats2["loss_bbox3d_iou"]) < float(stats["loss_bbox3d_iou"])
+
+
+def test_freeze_layers_mask(tiny_conf):
+    """freeze_blacklist params receive no updates; others do."""
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.train.state import create_train_state, freeze_mask_fn
+    from m3dssd_tpu.utils.synthetic_conf import finalize_conf_synthetic
+    import optax
+
+    conf = finalize_conf_synthetic(
+        tiny_conf.replace(anchors=None, freeze_blacklist=["base"]))
+    model = build(conf)
+    state = create_train_state(conf, model, jax.random.PRNGKey(0), max_iter=10)
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    updates, _ = state.tx.update(grads, state.opt_state, state.params)
+    flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+    frozen = [np.allclose(v, 0) for k, v in flat
+              if "base" in jax.tree_util.keystr(k)]
+    live = [np.allclose(v, 0) for k, v in flat
+            if "base" not in jax.tree_util.keystr(k)]
+    assert frozen and all(frozen)
+    assert live and not all(live)

@@ -211,3 +211,32 @@ def test_image_box_overlap_criteria():
     assert image_box_overlap(a, b)[0, 0] == pytest.approx(0.5)
     assert image_box_overlap(a, b, criterion=0)[0, 0] == pytest.approx(0.5)
     assert image_box_overlap(a, b, criterion=1)[0, 0] == pytest.approx(1.0)
+
+
+def test_nms_select_matches_full_nms():
+    from m3dssd_tpu.ops.nms import nms_select
+    rng = np.random.default_rng(7)
+    N, K = 300, 25
+    x1 = rng.uniform(0, 200, N)
+    y1 = rng.uniform(0, 200, N)
+    dets = np.stack([x1, y1, x1 + rng.uniform(5, 60, N),
+                     y1 + rng.uniform(5, 60, N),
+                     rng.uniform(0, 1, N)], axis=1).astype(np.float32)
+    for thresh in [0.3, 0.5]:
+        keep_ref = py_cpu_nms(dets, thresh)[:K]
+        idxs, valid = nms_select(jnp.array(dets[:, :4]),
+                                 jnp.array(dets[:, 4]), thresh, K)
+        got = np.asarray(idxs)[np.asarray(valid)].tolist()
+        assert got == keep_ref, thresh
+
+
+def test_nms_select_fewer_survivors_than_requested():
+    from m3dssd_tpu.ops.nms import nms_select
+    dets = np.array([[0, 0, 10, 10, 0.9],
+                     [1, 1, 11, 11, 0.8],
+                     [2, 0, 12, 10, 0.7]], np.float32)
+    idxs, valid = nms_select(jnp.array(dets[:, :4]), jnp.array(dets[:, 4]),
+                             0.5, 5)
+    got = np.asarray(idxs)[np.asarray(valid)].tolist()
+    assert got == py_cpu_nms(dets, 0.5)
+    assert int(np.asarray(valid).sum()) == len(got)
