@@ -8,10 +8,14 @@ Anchor tensor layout [A, 9]: columns 0:4 are the centered 2D template
 [x1,y1,x2,y2]; columns 4:9 are per-anchor 3D priors [z3d, w3d, h3d, l3d, rotY]
 (means of the ground truths each anchor best-matches).
 
-Flattened roi order: anchor-major, then row, then column —
-n = (a * H + h) * W + w — matching the reference's load-bearing unroll
-(ref:lib/rpn_util.py:1367-1386) so that per-anchor 3D priors line up with the
-model's flattened head outputs.
+Flattened roi order: row-major spatial, anchor fastest —
+n = (h * W + w) * A + a. This deliberately differs from the reference's
+anchor-major unroll (ref:lib/rpn_util.py:1367-1386): with anchors innermost,
+flattening the model's native [B, H, W, A(, C)] head outputs is a pure
+reshape — no transpose in the inference/loss hot path (an (A,H,W) relayout
+fused into the decode cost ~22 ms/image on TPU). The order is an internal
+contract between `locate_anchors` and `models.rpn.flatten_anchor_map`; all
+consumers (targets, loss, decode) go through it consistently.
 """
 
 from __future__ import annotations
@@ -173,25 +177,26 @@ def cluster_anchors(conf, anchors, imdb, max_rounds=1000):
 def locate_anchors(anchors, feat_size, stride):
     """Spread anchor templates over the feature grid.
 
-    Returns rois [A*H*W, 5] = [x1, y1, x2, y2, anchor_index], flat order
-    (a, h, w) — see module docstring. Fully vectorized (the reference builds
+    Returns rois [H*W*A, 5] = [x1, y1, x2, y2, anchor_index], flat order
+    (h, w, a) — see module docstring. Fully vectorized (the reference builds
     this with meshgrid + per-anchor loops: ref:lib/rpn_util.py:1329-1398).
     """
     anchors = np.asarray(anchors)
     H, W = int(feat_size[0]), int(feat_size[1])
     A = anchors.shape[0]
 
-    sx = (np.arange(W) * float(stride))[None, None, :]     # [1,1,W]
-    sy = (np.arange(H) * float(stride))[None, :, None]     # [1,H,1]
-    t = anchors[:, :4].reshape(A, 1, 1, 4)
+    sx = (np.arange(W) * float(stride))[None, :, None]     # [1,W,1]
+    sy = (np.arange(H) * float(stride))[:, None, None]     # [H,1,1]
+    t = anchors[:, :4].reshape(1, 1, A, 4)
 
-    x1 = np.broadcast_to(sx + t[..., 0], (A, H, W))
-    y1 = np.broadcast_to(sy + t[..., 1], (A, H, W))
-    x2 = np.broadcast_to(sx + t[..., 2], (A, H, W))
-    y2 = np.broadcast_to(sy + t[..., 3], (A, H, W))
-    tracker = np.broadcast_to(np.arange(A, dtype=np.float64)[:, None, None], (A, H, W))
+    x1 = np.broadcast_to(sx + t[..., 0], (H, W, A))
+    y1 = np.broadcast_to(sy + t[..., 1], (H, W, A))
+    x2 = np.broadcast_to(sx + t[..., 2], (H, W, A))
+    y2 = np.broadcast_to(sy + t[..., 3], (H, W, A))
+    tracker = np.broadcast_to(np.arange(A, dtype=np.float64)[None, None, :],
+                              (H, W, A))
 
-    rois = np.stack([x1, y1, x2, y2, tracker], axis=-1).reshape(A * H * W, 5)
+    rois = np.stack([x1, y1, x2, y2, tracker], axis=-1).reshape(H * W * A, 5)
     return rois.astype(np.float64)
 
 

@@ -6,10 +6,11 @@ shape/center alignment and ANAB depth attention sit between them.
 
 Output contract (both train and eval):
     dict(cls [B,N,Ncls], prob [B,N,Ncls], bbox_2d [B,N,4], bbox_3d [B,N,7])
-with N = A*H*W flattened in (anchor, row, col) order to match
-`anchors.locate_anchors`. Anchor rois are host-side constants — the reference
-caches them as module state (ref::62-64,308-313); under jit they are simply
-arrays passed to the decode step.
+with N = H*W*A flattened in (row, col, anchor) order to match
+`anchors.locate_anchors` — a pure reshape of the NHWC head outputs (no
+relayout on the hot path). Anchor rois are host-side constants — the
+reference caches them as module state (ref::62-64,308-313); under jit they
+are simply arrays passed to the decode step.
 """
 
 from __future__ import annotations
@@ -27,23 +28,26 @@ from .necks import DLASeg
 
 
 def flatten_anchor_map(x):
-    """[B, H, W, A(, C)] -> [B, A*H*W(, C)] in (a, h, w) order."""
+    """[B, H, W, A(, C)] -> [B, H*W*A(, C)] in (h, w, a) order.
+
+    A pure reshape — no relayout. The matching roi order comes from
+    `anchors.locate_anchors` (see its docstring for why this differs from the
+    reference's anchor-major unroll)."""
     if x.ndim == 4:
         B, H, W, A = x.shape
-        return x.transpose(0, 3, 1, 2).reshape(B, A * H * W)
+        return x.reshape(B, H * W * A)
     B, H, W, A, C = x.shape
-    return x.transpose(0, 3, 1, 2, 4).reshape(B, A * H * W, C)
+    return x.reshape(B, H * W * A, C)
 
 
 def unflatten_anchor_map(x, feat_size, num_anchors):
-    """Inverse of `flatten_anchor_map` (ref:lib/rpn_util.py:904-918)."""
+    """Inverse of `flatten_anchor_map` (role of ref:lib/rpn_util.py:904-918)."""
     H, W = int(feat_size[0]), int(feat_size[1])
     A = num_anchors
     B = x.shape[0]
     if x.ndim == 2:
-        return x.reshape(B, A, H, W).transpose(0, 2, 3, 1)
-    C = x.shape[-1]
-    return x.reshape(B, A, H, W, C).transpose(0, 2, 3, 1, 4)
+        return x.reshape(B, H, W, A)
+    return x.reshape(B, H, W, A, x.shape[-1])
 
 
 class Tower(nn.Module):

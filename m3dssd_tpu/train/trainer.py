@@ -62,6 +62,9 @@ class Trainer:
         self.train_step = make_train_step(conf, self.dataset.rois)
         self.rng = rng
 
+        if conf.pretrained:
+            self._load_pretrained(conf.pretrained)
+
         self.mesh = None
         if use_mesh and len(jax.devices()) > 1:
             n = conf.dp_devices if conf.dp_devices > 0 else len(jax.devices())
@@ -71,6 +74,30 @@ class Trainer:
 
         self.best_metric = -1.0
         self.val_dataset = None
+        from ..utils.profiling import make_tb_writer
+        self.writer = make_tb_writer(os.path.join(output_dir, "log", "tb"))
+
+    def _load_pretrained(self, path: str):
+        """Load pretrained weights: a torch checkpoint (reference format /
+        ImageNet DLA) or an orbax checkpoint dir (ref:lib/core.py:477-511
+        partial-load semantics)."""
+        conf = self.conf
+        if os.path.isdir(path):
+            from ..utils.checkpoint import restore_checkpoint
+            self.state = restore_checkpoint(path, self.state)
+            return
+        from ..utils.torch_import import (load_reference_checkpoint,
+                                          load_torch_file)
+        sd = load_torch_file(path)
+        block = "basic" if conf.back_bone in ("dla34", "dla34_depth") \
+            else "bottleneck"
+        params, batch_stats, stats = load_reference_checkpoint(
+            {"params": self.state.params,
+             "batch_stats": self.state.batch_stats},
+            sd, num_anchors=conf.anchors.shape[0],
+            num_classes=conf.num_classes, block=block)
+        self.state = self.state.replace(params=params,
+                                        batch_stats=batch_stats)
 
     def _eval(self, epoch: int) -> float:
         conf = self.conf
@@ -89,12 +116,19 @@ class Trainer:
         if res:
             logging.info("eval epoch %d: Car 3D R40 = %s", epoch,
                          res.get("Car_3d_R40"))
+            if self.writer is not None:
+                # per-class/metric scalars (ref:lib/rpn_util.py:1880-1896)
+                for key, vals in res.items():
+                    if key.startswith("_"):
+                        continue
+                    for d, name in zip(vals, ["easy", "moderate", "hard"]):
+                        self.writer.add_scalar(f"Test/{key}/{name}", d, epoch)
         return sel
 
     def run(self, epochs: Optional[int] = None):
         conf = self.conf
         epochs = epochs or conf.max_epoch
-        tracker = StatTracker()
+        tracker = StatTracker(writer=self.writer)
         t0 = time.time()
         it = int(self.state.step)
 
@@ -109,6 +143,11 @@ class Trainer:
                 if it % max(int(conf.display_iter), 1) == 0:
                     eta, dt = compute_eta(t0, it, self.max_iter)
                     tracker.flush(it, extra=f"epoch {epoch} dt {dt:.3f}s eta {eta}")
+
+            # epoch-end flush so short runs still report
+            if tracker.counts:
+                eta, dt = compute_eta(t0, it, self.max_iter)
+                tracker.flush(it, extra=f"epoch {epoch} end dt {dt:.3f}s eta {eta}")
 
             if (epoch + 1) % conf.snapshot_epoch == 0 or epoch + 1 == epochs:
                 save_checkpoint(os.path.join(self.output_dir, "weights"),

@@ -42,12 +42,12 @@ def test_locate_anchors_order_and_values():
     feat = [3, 5]
     rois = locate_anchors(anchors, feat, 8)
     A, H, W = 2, 3, 5
-    assert rois.shape == (A * H * W, 5)
-    # flat order (a, h, w): n = (a*H + h)*W + w
+    assert rois.shape == (H * W * A, 5)
+    # flat order (h, w, a): n = (h*W + w)*A + a
     for a in range(A):
         for h in range(H):
             for w in range(W):
-                n = (a * H + h) * W + w
+                n = (h * W + w) * A + a
                 np.testing.assert_allclose(
                     rois[n, :4],
                     anchors[a, :4] + np.array([w * 8, h * 8, w * 8, h * 8]))

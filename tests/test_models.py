@@ -32,8 +32,8 @@ def test_flatten_unflatten_roundtrip():
     assert flat.shape == (2, 3 * 4 * 6, 5)
     back = unflatten_anchor_map(flat, (4, 6), 3)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x))
-    # flat order (a, h, w)
-    np.testing.assert_allclose(np.asarray(flat[0, (1 * 4 + 2) * 6 + 3]),
+    # flat order (h, w, a): n = (h*W + w)*A + a
+    np.testing.assert_allclose(np.asarray(flat[0, (2 * 6 + 3) * 3 + 1]),
                                np.asarray(x[0, 2, 3, 1]))
 
 

@@ -1,0 +1,123 @@
+"""Torch checkpoint import: mapping totality + numerical round trip.
+
+Strategy: build the flax model, synthesize a torch-style state_dict by
+*inverting* the converters from the flax leaves, import it, and check the
+loaded tree equals the synthesized values — validating name translation,
+layout transposes, and the channel permutations in both directions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3dssd_tpu.config import kitti_3d_anab_fullalign
+from m3dssd_tpu.models import build
+from m3dssd_tpu.utils.synthetic_conf import finalize_conf_synthetic
+from m3dssd_tpu.utils.torch_import import (flax_to_torch_key,
+                                           load_reference_checkpoint)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    conf = finalize_conf_synthetic(kitti_3d_anab_fullalign().replace(
+        crop_size=[64, 128], test_scale=[64, 128], num_anchor_scales=2,
+        back_bone="dla34", pre_train=False, compute_dtype="float32"))
+    model = build(conf)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)),
+                   train=False)
+    return conf, model, v
+
+
+def _torch_shape(parts, leaf, flax_shape):
+    """Expected torch tensor shape for a given flax leaf."""
+    if leaf in ("kernel", "weight") and len(flax_shape) == 4:
+        kh, kw, i, o = flax_shape
+        return (o, i, kh, kw)
+    return tuple(flax_shape)
+
+
+def test_mapping_total_and_injective(model_and_vars):
+    conf, model, v = model_and_vars
+    A, C = conf.anchors.shape[0], conf.num_classes
+    import jax.tree_util as jtu
+
+    seen = {}
+    unmapped = []
+    for path, val in jtu.tree_flatten_with_path(v["params"])[0]:
+        parts = tuple(str(k.key) for k in path)
+        try:
+            key, _ = flax_to_torch_key(parts[:-1], parts[-1],
+                                       num_anchors=A, num_classes=C)
+        except Exception:
+            unmapped.append("/".join(parts))
+            continue
+        assert key not in seen, f"duplicate torch key {key} for " \
+            f"{'/'.join(parts)} and {seen[key]}"
+        seen[key] = "/".join(parts)
+    # every parameter must be mapped
+    assert not unmapped, unmapped
+    # batch_stats too
+    for path, val in jtu.tree_flatten_with_path(v["batch_stats"])[0]:
+        parts = tuple(str(k.key) for k in path)
+        key, _ = flax_to_torch_key(parts[:-1], parts[-1],
+                                   num_anchors=A, num_classes=C)
+
+
+def test_import_roundtrip_values(model_and_vars):
+    """Synthesize torch tensors whose converted values are known, import,
+    and verify every leaf changed to the expected value."""
+    conf, model, v = model_and_vars
+    A, C = conf.anchors.shape[0], conf.num_classes
+    import jax.tree_util as jtu
+
+    rng = np.random.default_rng(0)
+    sd = {}
+    expected = {}
+
+    for coll in ["params", "batch_stats"]:
+        for path, val in jtu.tree_flatten_with_path(v[coll])[0]:
+            parts = tuple(str(k.key) for k in path)
+            key, conv = flax_to_torch_key(parts[:-1], parts[-1],
+                                          num_anchors=A, num_classes=C)
+            tshape = _torch_shape(parts, parts[-1], np.asarray(val).shape)
+            t = rng.normal(size=tshape).astype(np.float32)
+            sd[key] = t
+            expected["/".join(parts)] = np.asarray(conv(t))
+
+    params, batch_stats, stats = load_reference_checkpoint(
+        v, sd, num_anchors=A, num_classes=C, block="basic")
+    assert stats["loaded"] > 100
+    assert not stats["unmapped"], stats["unmapped"][:5]
+    assert not stats["shape_mismatch"], stats["shape_mismatch"][:5]
+
+    for tree, coll in [(params, "params"), (batch_stats, "batch_stats")]:
+        for path, val in jtu.tree_flatten_with_path(tree)[0]:
+            parts = "/".join(str(k.key) for k in path)
+            np.testing.assert_allclose(np.asarray(val), expected[parts],
+                                       rtol=1e-6, err_msg=parts)
+
+
+def test_import_model_still_runs(model_and_vars):
+    conf, model, v = model_and_vars
+    A, C = conf.anchors.shape[0], conf.num_classes
+    import jax.tree_util as jtu
+    rng = np.random.default_rng(1)
+    sd = {}
+    for coll in ["params", "batch_stats"]:
+        for path, val in jtu.tree_flatten_with_path(v[coll])[0]:
+            parts = tuple(str(k.key) for k in path)
+            key, conv = flax_to_torch_key(parts[:-1], parts[-1],
+                                          num_anchors=A, num_classes=C)
+            tshape = _torch_shape(parts, parts[-1], np.asarray(val).shape)
+            sd[key] = (rng.normal(size=tshape) * 0.05).astype(np.float32)
+    # make BN variances positive
+    for k in sd:
+        if k.endswith("running_var"):
+            sd[k] = np.abs(sd[k]) + 0.5
+
+    params, batch_stats, _ = load_reference_checkpoint(
+        v, sd, num_anchors=A, num_classes=C)
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      jnp.zeros((1, 64, 128, 3)), train=False)
+    assert np.isfinite(np.asarray(out["prob"])).all()
