@@ -81,6 +81,11 @@ class Config:
     use_3d_for_2d: bool = True
     num_workers: int = 8
 
+    # multi-frame input ("video_det", ref:lib/imdb_util.py:224-266): stack
+    # `video_count` previous frames (<id>_01.png ...) as extra channel groups
+    video_det: bool = False
+    video_count: int = 1
+
     percent_anc_h: List[float] = field(default_factory=lambda: [0.0625, 0.75])
 
     min_gt_vis: float = 0.65

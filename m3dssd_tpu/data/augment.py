@@ -129,7 +129,13 @@ class RandomTransform:
 
         mat = _affine_scale_about(cx, cy, scale)
         import cv2
-        im = cv2.warpAffine(im, mat, self.dst)
+        if im.shape[2] <= 4:
+            im = cv2.warpAffine(im, mat, self.dst)
+        else:
+            # cv2 caps channels at 4: warp 3-channel groups (video_det stacks)
+            im = np.concatenate(
+                [cv2.warpAffine(im[:, :, i:i + 3], mat, self.dst)
+                 for i in range(0, im.shape[2], 3)], axis=2)
 
         if imobj is not None:
             imobj.scale_factor = scale

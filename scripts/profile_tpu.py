@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""TPU profiling driver: forward / detect / train-step timing breakdown.
+
+Usage:
+    python scripts/profile_tpu.py [--shape 512 1760] [--train] [--trace DIR]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--shape", type=int, nargs=2, default=[512, 1760])
+    p.add_argument("--train", action="store_true",
+                   help="profile the training step instead of inference")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--trace", default=None, help="jax.profiler trace dir")
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_conf
+    from m3dssd_tpu.anchors import locate_anchors
+    from m3dssd_tpu.inference.detect import make_detector
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.train.state import create_train_state, make_train_step
+
+    conf = _flagship_conf(tuple(args.shape))
+    model = build(conf)
+    rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
+    rng = jax.random.PRNGKey(0)
+
+    def timeit(name, fn, *a):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:30s} {dt * 1000:8.2f} ms  ({1 / dt:7.1f}/s)")
+        return out
+
+    if args.train:
+        conf = conf.replace(batch_size=args.batch)
+        state = create_train_state(conf, model, rng, max_iter=1000)
+        step = make_train_step(conf, rois)
+        N = rois.shape[0]
+        B = args.batch
+        rs = np.random.default_rng(0)
+        batch = {
+            "images": rs.normal(size=(B, *args.shape, 3)).astype(np.float32),
+            "labels": np.zeros((B, N), np.int32),
+            "labels_fg": np.zeros((B, N), np.int8),
+            "labels_bg": np.ones((B, N), np.int8),
+            "labels_ign": np.zeros((B, N), np.int8),
+            "bbox_2d": np.zeros((B, N, 4), np.float32),
+            "bbox_3d": np.zeros((B, N, 7), np.float32),
+            "any_val": np.ones((B,), np.int32),
+        }
+        batch["labels"][:, :50] = 1
+        batch["labels_fg"][:, :50] = 1
+        batch["labels_bg"][:, :50] = 0
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        def run(state):
+            s, stats = step(state, batch, rng)
+            return s.params, stats["loss"]
+
+        if args.trace:
+            run(state)
+            with jax.profiler.trace(args.trace):
+                timeit(f"train_step bs={B}", run, state)
+        else:
+            timeit(f"train_step bs={B}", run, state)
+        ips = args.batch
+        print(f"(throughput = batch {B} / step-time images/s)")
+    else:
+        v = model.init(rng, jnp.zeros((1, 64, 128, 3), jnp.float32),
+                       train=False)
+        detect = make_detector(conf, rois, model)
+        x = jnp.zeros((1, *args.shape, 3), jnp.float32)
+        if args.trace:
+            detect(v["params"], v.get("batch_stats", {}), x, np.float32(1.0))
+            with jax.profiler.trace(args.trace):
+                timeit("detect bs=1", detect, v["params"],
+                       v.get("batch_stats", {}), x, np.float32(1.0))
+        else:
+            timeit("detect bs=1", detect, v["params"],
+                   v.get("batch_stats", {}), x, np.float32(1.0))
+
+
+if __name__ == "__main__":
+    main()

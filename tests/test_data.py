@@ -135,3 +135,18 @@ def test_validation_dataset(synthetic_kitti, tiny_conf):
     assert "target" not in s
     assert s["input"].shape == (conf.test_scale[0], conf.test_scale[1], 3)
     assert s["meta"]["scale_factor"] == 1.0
+
+
+def test_video_det_channel_stacking(synthetic_kitti, tiny_conf):
+    """conf.video_det stacks previous frames as channel groups; missing
+    previous frames fall back to the current frame."""
+    conf = tiny_conf.replace(anchors=None, video_det=True, video_count=2)
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
+    s = ds[0]
+    H, W = conf.crop_size
+    assert s["input"].shape == (H, W, 9)
+    # all groups identical here (no _01/_02 files -> current frame repeated)
+    np.testing.assert_allclose(s["input"][:, :, 0:3], s["input"][:, :, 3:6])
+    # targets unaffected by extra channels
+    assert s["target"]["labels"].shape[0] == \
+        conf.anchors.shape[0] * conf.feat_size[0] * conf.feat_size[1]

@@ -140,3 +140,21 @@ def test_stride_2():
     want = dcn_v2_reference(x, offset, mask, weight, stride=2)
     assert got.shape == (B, Ho, Wo, Cout)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_bilinear_sample_paired_matches_plain():
+    from m3dssd_tpu.ops.dcn import bilinear_sample_paired
+    rng = np.random.default_rng(9)
+    x = jnp.array(rng.normal(size=(2, 7, 9, 5)).astype(np.float32))
+    # sample points covering interior, boundaries, and out-of-bounds
+    py = jnp.array(rng.uniform(-2, 9, size=(2, 40)).astype(np.float32))
+    px = jnp.array(rng.uniform(-2, 11, size=(2, 40)).astype(np.float32))
+    a = np.asarray(bilinear_sample(x, py, px))
+    b = np.asarray(bilinear_sample_paired(x, py, px))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    # exact integer coords too
+    pyi = jnp.array([[0.0, 6.0, 3.0]])
+    pxi = jnp.array([[0.0, 8.0, 4.0]])
+    a = np.asarray(bilinear_sample(x[:1], pyi, pxi))
+    b = np.asarray(bilinear_sample_paired(x[:1], pyi, pxi))
+    np.testing.assert_allclose(a, b, rtol=1e-6)

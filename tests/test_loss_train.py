@@ -175,6 +175,9 @@ def test_train_step_on_8_device_mesh(tiny_train_setup):
     from m3dssd_tpu.train.state import create_train_state, make_train_step
 
     conf, ds, loader = tiny_train_setup
+    # warmup=0: with the stock warmup fraction, step 0 has lr == 0 and a
+    # single-step test would see no parameter movement
+    conf = conf.replace(warmup=0.0)
     model = build(conf)
     state = create_train_state(conf, model, jax.random.PRNGKey(0), max_iter=100)
     train_step = make_train_step(conf, ds.rois)
