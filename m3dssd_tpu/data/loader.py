@@ -57,6 +57,10 @@ def collate(samples) -> Dict[str, np.ndarray]:
         t0 = samples[0]["target"]
         for k in t0:
             batch[k] = np.stack([np.asarray(s["target"][k]) for s in samples], axis=0)
+        # regression targets go channel-major [B, P, N] (lane-friendly on
+        # device; the host transpose here is trivial)
+        for k in ("bbox_2d", "bbox_3d"):
+            batch[k] = np.ascontiguousarray(batch[k].transpose(0, 2, 1))
     # camera matrices travel with the batch (needed by the 3D-projection /
     # rotated-IoU loss capabilities)
     if "meta" in samples[0] and "p2_inv" in samples[0]["meta"]:

@@ -15,8 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.boxes import bbox_transform_inv, decode_bbox_3d
-from ..ops.nms import nms_select
+from ..ops.boxes import bbox_transform_inv_t, decode_bbox_3d_t
+from ..ops.nms import nms_select_t
 
 # detection table columns (matches ref aboxes layout :1550)
 DET_COLS = ["x1", "y1", "x2", "y2", "score", "cls",
@@ -37,8 +37,7 @@ def make_detector(conf, rois: np.ndarray, model=None,
     better recall) and avoids a full TPU sort (~20 ms + minutes of compile).
     Set True for strict reference behavior.
     """
-    rois_c = jnp.asarray(rois[:, :5], jnp.float32)
-    anchors_c = jnp.asarray(conf.anchors, jnp.float32)
+    rois_t = jnp.asarray(rois[:, :5].T, jnp.float32)        # [5, N]
     means_c = jnp.asarray(conf.bbox_means, jnp.float32).reshape(-1)
     stds_c = jnp.asarray(conf.bbox_stds, jnp.float32).reshape(-1)
     top_pre = int(min(conf.nms_topN_pre, rois.shape[0]))
@@ -48,50 +47,45 @@ def make_detector(conf, rois: np.ndarray, model=None,
 
     # per-roi anchor 3D priors are constants: fold the gather now
     tracker_np = rois[:, 4].astype(np.int32)
-    src3d_all = jnp.asarray(np.asarray(conf.anchors)[tracker_np, 4:9],
-                            jnp.float32)
+    src3d_t = jnp.asarray(np.asarray(conf.anchors)[tracker_np, 4:9].T,
+                          jnp.float32)                      # [5, N]
 
     @jax.jit
     def detect(params, batch_stats, image, scale_factor):
         out = apply_fn({"params": params, "batch_stats": batch_stats},
                        image, train=False)
         prob = out["prob"][0].astype(jnp.float32)          # [N, C]
-        bbox_2d = out["bbox_2d"][0].astype(jnp.float32)    # [N, 4]
-        bbox_3d = out["bbox_3d"][0].astype(jnp.float32)    # [N, 7]
+        d2 = out["bbox_2d"][0].astype(jnp.float32)         # [4, N]
+        d3 = out["bbox_3d"][0].astype(jnp.float32)         # [7, N]
 
         scores = jnp.max(prob[:, 1:], axis=1)
         cls_pred = (jnp.argmax(prob[:, 1:], axis=1) + 1).astype(jnp.float32)
 
         if use_topk_pre:
             top_scores, top_idx = jax.lax.top_k(scores, top_pre)
-            rois_k = rois_c[top_idx]
-            src3d = src3d_all[top_idx]
-            d2, d3 = bbox_2d[top_idx], bbox_3d[top_idx]
+            rk = rois_t[:, top_idx]
+            sk = src3d_t[:, top_idx]
+            d2, d3 = d2[:, top_idx], d3[:, top_idx]
             cls_k = cls_pred[top_idx]
-            trk = rois_k[:, 4]
         else:
-            top_scores = scores
-            rois_k, src3d = rois_c, src3d_all
-            d2, d3, cls_k = bbox_2d, bbox_3d, cls_pred
-            trk = rois_c[:, 4]
+            top_scores, rk, sk, cls_k = scores, rois_t, src3d_t, cls_pred
 
-        coords_2d = bbox_transform_inv(rois_k[:, :4], d2,
-                                       means_c[0:4], stds_c[0:4])
-        coords_3d = decode_bbox_3d(rois_k[:, :4], d3, src3d, means_c, stds_c)
+        coords_2d = bbox_transform_inv_t(rk, d2, means_c[0:4], stds_c[0:4])
+        coords_3d = decode_bbox_3d_t(rk, d3, sk, means_c, stds_c)
         # rescale image-plane quantities to the original resolution
         coords_2d = coords_2d / scale_factor
-        coords_3d = coords_3d.at[:, 0:2].divide(scale_factor)
+        coords_3d = coords_3d.at[0:2].divide(scale_factor)
 
         # greedy NMS, keeping only the top_post survivors (exact: the first
         # `top_post` kept boxes of full greedy NMS)
-        fi, valid = nms_select(coords_2d, top_scores, nms_thres, top_post)
+        fi, valid = nms_select_t(coords_2d, top_scores, nms_thres, top_post)
         final_scores = jnp.where(valid, top_scores[fi], -1.0)
         dets = jnp.concatenate([
-            coords_2d[fi],
+            coords_2d[:, fi].T,
             final_scores[:, None],
             cls_k[fi][:, None],
-            coords_3d[fi],
-            trk[fi][:, None],
+            coords_3d[:, fi].T,
+            rk[4, fi][:, None],
         ], axis=1)
         return dets
 
@@ -105,7 +99,7 @@ def make_batch_detector(conf, rois: np.ndarray, model=None):
     The reference tests at batch 1 (ref:lib/dataloader.py:906); batching the
     eval forward is AP-neutral throughput (decode + NMS vmap across images).
     """
-    rois_c = jnp.asarray(rois[:, :5], jnp.float32)
+    rois_t = jnp.asarray(rois[:, :5].T, jnp.float32)
     means_c = jnp.asarray(conf.bbox_means, jnp.float32).reshape(-1)
     stds_c = jnp.asarray(conf.bbox_stds, jnp.float32).reshape(-1)
     top_post = int(conf.nms_topN_post)
@@ -113,22 +107,21 @@ def make_batch_detector(conf, rois: np.ndarray, model=None):
     apply_fn = model.apply
 
     tracker_np = rois[:, 4].astype(np.int32)
-    src3d_all = jnp.asarray(np.asarray(conf.anchors)[tracker_np, 4:9],
-                            jnp.float32)
+    src3d_t = jnp.asarray(np.asarray(conf.anchors)[tracker_np, 4:9].T,
+                          jnp.float32)
 
-    def _one(prob, bbox_2d, bbox_3d, scale_factor):
+    def _one(prob, d2, d3, scale_factor):
         scores = jnp.max(prob[:, 1:], axis=1)
         cls_pred = (jnp.argmax(prob[:, 1:], axis=1) + 1).astype(jnp.float32)
-        coords_2d = bbox_transform_inv(rois_c[:, :4], bbox_2d,
-                                       means_c[0:4], stds_c[0:4]) / scale_factor
-        coords_3d = decode_bbox_3d(rois_c[:, :4], bbox_3d, src3d_all,
-                                   means_c, stds_c)
-        coords_3d = coords_3d.at[:, 0:2].divide(scale_factor)
-        fi, valid = nms_select(coords_2d, scores, nms_thres, top_post)
+        coords_2d = bbox_transform_inv_t(rois_t, d2, means_c[0:4],
+                                         stds_c[0:4]) / scale_factor
+        coords_3d = decode_bbox_3d_t(rois_t, d3, src3d_t, means_c, stds_c)
+        coords_3d = coords_3d.at[0:2].divide(scale_factor)
+        fi, valid = nms_select_t(coords_2d, scores, nms_thres, top_post)
         final_scores = jnp.where(valid, scores[fi], -1.0)
         return jnp.concatenate([
-            coords_2d[fi], final_scores[:, None], cls_pred[fi][:, None],
-            coords_3d[fi], rois_c[fi, 4][:, None]], axis=1)
+            coords_2d[:, fi].T, final_scores[:, None], cls_pred[fi][:, None],
+            coords_3d[:, fi].T, rois_t[4, fi][:, None]], axis=1)
 
     @jax.jit
     def detect(params, batch_stats, images, scale_factors):

@@ -32,9 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.boxes import (backproject, bbox_transform_inv,
-                         convert_alpha_to_rot, decode_bbox_3d, iou_list,
-                         masked_mean, smooth_l1)
+from ..ops.boxes import (bbox_transform_inv_t, convert_alpha_to_rot,
+                         decode_bbox_3d_t, iou_list_t, masked_mean, smooth_l1)
 
 IGN_FLAG = 3000
 
@@ -84,9 +83,11 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Compute the total detection loss and a stats dict.
 
-    outputs: model forward dict (cls/prob/bbox_2d/bbox_3d, [B,N,...]).
+    outputs: model forward dict (cls/prob [B,N,C]; bbox_2d [B,4,N],
+             bbox_3d [B,7,N] channel-major).
     batch: labels [B,N] (IGN_FLAG for ignored), labels_fg/bg/ign [B,N],
-           bbox_2d [B,N,4], bbox_3d [B,N,7] (whitened targets), any_val [B].
+           bbox_2d [B,4,N], bbox_3d [B,7,N] (whitened targets, channel-
+           major — the loader transposes host-side), any_val [B].
     rois [N,5]; anchors [A,9]; bbox_means/stds [1,11] or [11].
     """
     cls = outputs["cls"].astype(jnp.float32)
@@ -171,12 +172,13 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
                                   lab_bg_all)
 
     # --------------------------------------------------------- 3D bbox loss
+    # bbox tensors are channel-major [B, P, N] (lane-friendly; see PERF.md)
     bbox_weights = sel_fg.astype(jnp.float32)
     if cfg.bbox_3d_lambda:
         l3d = smooth_l1(bbox_3d, batch["bbox_3d"].astype(jnp.float32))
         # per-param masked mean over sampled fg, summed over the 7 params
         per_param = jax.vmap(lambda p: masked_mean(p, bbox_weights),
-                             in_axes=2)(l3d)
+                             in_axes=1)(l3d)
         loss_3d = jnp.sum(per_param) * cfg.bbox_3d_lambda
         loss = loss + loss_3d
         stats["loss_bbox3d"] = loss_3d
@@ -184,17 +186,18 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
     if cfg.bbox_2d_lambda:
         l2d = smooth_l1(bbox_2d, batch["bbox_2d"].astype(jnp.float32))
         per_param = jax.vmap(lambda p: masked_mean(p, bbox_weights),
-                             in_axes=2)(l2d)
+                             in_axes=1)(l2d)
         loss_2d = jnp.sum(per_param) * cfg.bbox_2d_lambda
         loss = loss + loss_2d
         stats["loss_bbox2d"] = loss_2d
 
     # ------------------------------------------------- decoded IoU loss/stats
-    coords = bbox_transform_inv(rois[None], bbox_2d, means[0:4], stds[0:4])
-    coords_tar = bbox_transform_inv(rois[None],
-                                    batch["bbox_2d"].astype(jnp.float32),
-                                    means[0:4], stds[0:4])
-    ious = iou_list(coords, coords_tar)
+    rois_t = rois.T                                   # [5, N] channel-major
+    coords = bbox_transform_inv_t(rois_t, bbox_2d, means[0:4], stds[0:4])
+    coords_tar = bbox_transform_inv_t(rois_t,
+                                      batch["bbox_2d"].astype(jnp.float32),
+                                      means[0:4], stds[0:4])
+    ious = iou_list_t(coords, coords_tar)
     stats["iou"] = masked_mean(ious, bbox_weights)
 
     if cfg.iou_2d_lambda:
@@ -208,14 +211,14 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
 
     # --------------------------------------------- z / rotation error stats
     tracker = rois[:, 4].astype(jnp.int32)
-    src3d = anchors[tracker][:, 4:9]                 # [N,5]
-    dec = decode_bbox_3d(rois[None, :, :4], bbox_3d, src3d[None], means, stds)
-    dec_tar = decode_bbox_3d(rois[None, :, :4],
-                             batch["bbox_3d"].astype(jnp.float32),
-                             src3d[None], means, stds)
-    stats["err_z"] = masked_mean(jnp.abs(dec[..., 2] - dec_tar[..., 2]),
+    src3d_t = anchors[tracker][:, 4:9].T             # [5, N]
+    dec = decode_bbox_3d_t(rois_t, bbox_3d, src3d_t, means, stds)
+    dec_tar = decode_bbox_3d_t(rois_t,
+                               batch["bbox_3d"].astype(jnp.float32),
+                               src3d_t, means, stds)
+    stats["err_z"] = masked_mean(jnp.abs(dec[:, 2] - dec_tar[:, 2]),
                                  bbox_weights)
-    stats["err_ry"] = masked_mean(jnp.abs(dec[..., 6] - dec_tar[..., 6]),
+    stats["err_ry"] = masked_mean(jnp.abs(dec[:, 6] - dec_tar[:, 6]),
                                   bbox_weights)
 
     # ------------------------- 3D projection / rotated-IoU loss capabilities
@@ -225,19 +228,20 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
             and "p2_inv" in batch:
         p2_inv = batch["p2_inv"].astype(jnp.float32)     # [B,4,4]
 
-        def cam_boxes(d):
-            c3 = backproject(p2_inv[:, None], d[..., 0], d[..., 1], d[..., 2])
-            ry = convert_alpha_to_rot(d[..., 6], c3[..., 2], c3[..., 0])
-            # camera-frame [x, y(bottom), z, h, w, l, ry]
-            return jnp.stack([c3[..., 0], c3[..., 1] + d[..., 4] / 2,
-                              c3[..., 2], d[..., 4], d[..., 3], d[..., 5],
-                              ry], axis=-1)
+        def cam_boxes_t(d):
+            # d [B,7,N] -> camera-frame [B,7,N]: [x, y(bottom), z, h, w, l, ry]
+            x2d, y2d, z = d[:, 0], d[:, 1], d[:, 2]
+            pts = jnp.stack([x2d * z, y2d * z, z, jnp.ones_like(z)], axis=1)
+            c3 = jnp.einsum("bij,bjn->bin", p2_inv, pts)  # [B,4,N]
+            ry = convert_alpha_to_rot(d[:, 6], c3[:, 2], c3[:, 0])
+            return jnp.stack([c3[:, 0], c3[:, 1] + d[:, 4] / 2, c3[:, 2],
+                              d[:, 4], d[:, 3], d[:, 5], ry], axis=1)
 
-        cams = cam_boxes(dec)
-        cams_tar = jax.lax.stop_gradient(cam_boxes(dec_tar))
+        cams = cam_boxes_t(dec)
+        cams_tar = jax.lax.stop_gradient(cam_boxes_t(dec_tar))
 
         if cfg.bbox_3d_proj_lambda:
-            proj_l1 = smooth_l1(cams[..., 0:3], cams_tar[..., 0:3]).sum(-1)
+            proj_l1 = smooth_l1(cams[:, 0:3], cams_tar[:, 0:3]).sum(1)
             loss_proj = masked_mean(proj_l1, bbox_weights) \
                 * cfg.bbox_3d_proj_lambda
             loss = loss + loss_proj
@@ -245,8 +249,8 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
 
         if cfg.bbox_3d_iou_lambda:
             from ..ops.iou3d import giou_3d
-            flat = cams.reshape(-1, 7)
-            flat_tar = cams_tar.reshape(-1, 7)
+            flat = cams.transpose(0, 2, 1).reshape(-1, 7)
+            flat_tar = cams_tar.transpose(0, 2, 1).reshape(-1, 7)
             g, _ = giou_3d(flat, flat_tar)
             loss_giou = masked_mean((1.0 - g).reshape(B, N), bbox_weights) \
                 * cfg.bbox_3d_iou_lambda

@@ -5,7 +5,8 @@ feature map feeds 12 regression towers + 1 classification tower; optional
 shape/center alignment and ANAB depth attention sit between them.
 
 Output contract (both train and eval):
-    dict(cls [B,N,Ncls], prob [B,N,Ncls], bbox_2d [B,N,4], bbox_3d [B,N,7])
+    dict(cls [B,N,Ncls], prob [B,N,Ncls],
+         bbox_2d [B,4,N], bbox_3d [B,7,N]  — CHANNEL-MAJOR)
 with N = H*W*A flattened in (row, col, anchor) order to match
 `anchors.locate_anchors` — a pure reshape of the NHWC head outputs (no
 relayout on the hot path). Anchor rois are host-side constants — the
@@ -164,12 +165,15 @@ class M3DRPN(nn.Module):
             feats_z = leaky_relu(feats_z)
         bbox_z3d = self.bbox_z3d(feats_z, train)
 
+        # channel-major stacks [B, P, N]: N stays on the lane dimension.
+        # a [B, N, P] layout would pad P=4/7 -> 128 lanes and multiply HBM
+        # traffic in every downstream op (PERF.md)
         f32 = lambda v: flatten_anchor_map(v).astype(jnp.float32)
         bbox_2d = jnp.stack([f32(bbox_x), f32(bbox_y),
-                             f32(bbox_w), f32(bbox_h)], axis=2)
+                             f32(bbox_w), f32(bbox_h)], axis=1)
         bbox_3d = jnp.stack([f32(bbox_x3d), f32(bbox_y3d), f32(bbox_z3d),
                              f32(bbox_w3d), f32(bbox_h3d), f32(bbox_l3d),
-                             f32(bbox_rY3d)], axis=2)
+                             f32(bbox_rY3d)], axis=1)
 
         return {
             "cls": flatten_anchor_map(cls).astype(jnp.float32),

@@ -82,6 +82,64 @@ def iou_matrix(box_a, box_b):
     return inter / (area_a[:, None] + area_b[None, :] - inter)
 
 
+def bbox_transform_inv_t(rois_t, deltas_t, means=None, stds=None):
+    """Channel-major decode: rois_t [4+,N], deltas_t [...,4,N] -> [...,4,N].
+
+    TPU-friendly twin of `bbox_transform_inv`: every operand keeps N on the
+    lane dimension (a [N,4] layout pads 4 -> 128 lanes and multiplies HBM
+    traffic ~32x; see PERF.md).
+    """
+    w = rois_t[2] - rois_t[0] + 1.0
+    h = rois_t[3] - rois_t[1] + 1.0
+    cx = rois_t[0] + 0.5 * w
+    cy = rois_t[1] + 0.5 * h
+
+    dx, dy, dw, dh = (deltas_t[..., 0, :], deltas_t[..., 1, :],
+                      deltas_t[..., 2, :], deltas_t[..., 3, :])
+    if stds is not None:
+        dx = dx * stds[0]; dy = dy * stds[1]; dw = dw * stds[2]; dh = dh * stds[3]
+    if means is not None:
+        dx = dx + means[0]; dy = dy + means[1]; dw = dw + means[2]; dh = dh + means[3]
+
+    pcx = dx * w + cx
+    pcy = dy * h + cy
+    pw = jnp.exp(dw) * w
+    ph = jnp.exp(dh) * h
+    return jnp.stack([pcx - 0.5 * pw, pcy - 0.5 * ph,
+                      pcx + 0.5 * pw, pcy + 0.5 * ph], axis=-2)
+
+
+def decode_bbox_3d_t(rois_t, deltas_t, anchors3d_t, means, stds):
+    """Channel-major 3D decode: rois_t [4+,N]; deltas_t [...,7,N] whitened;
+    anchors3d_t [5,N] per-roi (z,w3,h3,l3,alpha) priors -> [...,7,N]."""
+    d = deltas_t * stds[4:11, None] + means[4:11, None]
+    w = rois_t[2] - rois_t[0] + 1.0
+    h = rois_t[3] - rois_t[1] + 1.0
+    cx = rois_t[0] + 0.5 * w
+    cy = rois_t[1] + 0.5 * h
+
+    x2d = d[..., 0, :] * w + cx
+    y2d = d[..., 1, :] * h + cy
+    z = anchors3d_t[0] + d[..., 2, :]
+    w3 = jnp.exp(d[..., 3, :]) * anchors3d_t[1]
+    h3 = jnp.exp(d[..., 4, :]) * anchors3d_t[2]
+    l3 = jnp.exp(d[..., 5, :]) * anchors3d_t[3]
+    ry = anchors3d_t[4] + d[..., 6, :]
+    return jnp.stack([x2d, y2d, z, w3, h3, l3, ry], axis=-2)
+
+
+def iou_list_t(a_t, b_t, eps=1e-8):
+    """Elementwise IoU of channel-major box arrays [..., 4, N] -> [..., N]."""
+    ix1 = jnp.maximum(a_t[..., 0, :], b_t[..., 0, :])
+    iy1 = jnp.maximum(a_t[..., 1, :], b_t[..., 1, :])
+    ix2 = jnp.minimum(a_t[..., 2, :], b_t[..., 2, :])
+    iy2 = jnp.minimum(a_t[..., 3, :], b_t[..., 3, :])
+    inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
+    area_a = (a_t[..., 2, :] - a_t[..., 0, :]) * (a_t[..., 3, :] - a_t[..., 1, :])
+    area_b = (b_t[..., 2, :] - b_t[..., 0, :]) * (b_t[..., 3, :] - b_t[..., 1, :])
+    return inter / (area_a + area_b - inter + eps)
+
+
 def convert_alpha_to_rot(alpha, z3d, x3d):
     """alpha -> rotY on the viewing ray (jnp twin of ref:lib/util.py:516-524).
     Wraps to (-pi, pi]."""

@@ -72,8 +72,14 @@ def nms_select(boxes, scores, iou_thresh, num_out: int):
 
     Returns (indices [num_out] int32, valid [num_out] bool).
     """
-    N = boxes.shape[0]
-    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    return nms_select_t(boxes.T, scores, iou_thresh, num_out)
+
+
+@functools.partial(jax.jit, static_argnames=("num_out",))
+def nms_select_t(boxes_t, scores, iou_thresh, num_out: int):
+    """`nms_select` taking channel-major boxes [4, N] (lane-friendly)."""
+    N = boxes_t.shape[1]
+    x1, y1, x2, y2 = boxes_t[0], boxes_t[1], boxes_t[2], boxes_t[3]
     area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
 

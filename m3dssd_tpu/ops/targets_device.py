@@ -134,8 +134,9 @@ def compute_targets_device(rois, anchors, bbox_means, bbox_stds,
         "labels_fg": fg.astype(jnp.int8),
         "labels_bg": bg.astype(jnp.int8),
         "labels_ign": ign_label.astype(jnp.int8),
-        "bbox_2d": t2d,
-        "bbox_3d": t3d,
+        # channel-major [P, N] to match the loss's batch contract
+        "bbox_2d": t2d.T,
+        "bbox_3d": t3d.T,
         "any_val": has_gt.astype(jnp.int32),
     }
 

@@ -65,8 +65,8 @@ def main():
             "labels_fg": np.zeros((B, N), np.int8),
             "labels_bg": np.ones((B, N), np.int8),
             "labels_ign": np.zeros((B, N), np.int8),
-            "bbox_2d": np.zeros((B, N, 4), np.float32),
-            "bbox_3d": np.zeros((B, N, 7), np.float32),
+            "bbox_2d": np.zeros((B, 4, N), np.float32),
+            "bbox_3d": np.zeros((B, 7, N), np.float32),
             "any_val": np.ones((B,), np.int32),
         }
         batch["labels"][:, :50] = 1

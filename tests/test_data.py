@@ -123,7 +123,7 @@ def test_dataset_and_loader(synthetic_kitti, tiny_conf):
     assert b["images"].shape == (2, H, W, 3)
     N = conf.anchors.shape[0] * conf.feat_size[0] * conf.feat_size[1]
     assert b["labels"].shape == (2, N)
-    assert b["bbox_3d"].shape == (2, N, 7)
+    assert b["bbox_3d"].shape == (2, 7, N)
 
 
 def test_validation_dataset(synthetic_kitti, tiny_conf):

@@ -22,8 +22,8 @@ def _toy_setup(B=2, A=2, H=4, W=5, C=4, seed=0):
     rois = locate_anchors(anchors, [H, W], 8)
     outputs = {
         "cls": jnp.array(rng.normal(size=(B, N, C)).astype(np.float32)),
-        "bbox_2d": jnp.array(rng.normal(size=(B, N, 4)).astype(np.float32) * .1),
-        "bbox_3d": jnp.array(rng.normal(size=(B, N, 7)).astype(np.float32) * .1),
+        "bbox_2d": jnp.array(rng.normal(size=(B, 4, N)).astype(np.float32) * .1),
+        "bbox_3d": jnp.array(rng.normal(size=(B, 7, N)).astype(np.float32) * .1),
     }
     outputs["prob"] = jax.nn.softmax(outputs["cls"], axis=-1)
     labels = np.zeros((B, N), np.int32)
@@ -40,8 +40,8 @@ def _toy_setup(B=2, A=2, H=4, W=5, C=4, seed=0):
         "labels_fg": jnp.array(fg),
         "labels_bg": jnp.array(bg),
         "labels_ign": jnp.array(ign),
-        "bbox_2d": jnp.array(rng.normal(size=(B, N, 4)).astype(np.float32) * .1),
-        "bbox_3d": jnp.array(rng.normal(size=(B, N, 7)).astype(np.float32) * .1),
+        "bbox_2d": jnp.array(rng.normal(size=(B, 4, N)).astype(np.float32) * .1),
+        "bbox_3d": jnp.array(rng.normal(size=(B, 7, N)).astype(np.float32) * .1),
         "any_val": jnp.array([1, 1], jnp.int32),
     }
     means = np.zeros([1, 11]); stds = np.ones([1, 11])
@@ -90,8 +90,8 @@ def test_hard_negative_selection_picks_lowest_scores():
     batch["labels_fg"] = jnp.array(fg)
     batch["labels_bg"] = jnp.array(bg)
     batch["labels_ign"] = jnp.zeros((1, N), jnp.int8)
-    batch["bbox_2d"] = batch["bbox_2d"][:, :N]
-    batch["bbox_3d"] = batch["bbox_3d"][:, :N]
+    batch["bbox_2d"] = batch["bbox_2d"][:, :, :N]
+    batch["bbox_3d"] = batch["bbox_3d"][:, :, :N]
     batch["any_val"] = jnp.array([1], jnp.int32)
 
     # box_samples st total budget = 3 -> bg budget = 3 - 1 = 2

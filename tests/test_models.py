@@ -121,8 +121,8 @@ def test_rpn_forward_shapes(tiny_conf, variant):
     N = A * fh * fw
     assert out["cls"].shape == (1, N, conf.num_classes)
     assert out["prob"].shape == (1, N, conf.num_classes)
-    assert out["bbox_2d"].shape == (1, N, 4)
-    assert out["bbox_3d"].shape == (1, N, 7)
+    assert out["bbox_2d"].shape == (1, 4, N)   # channel-major (PERF.md)
+    assert out["bbox_3d"].shape == (1, 7, N)
     assert out["feat_size"] == (fh, fw)
     prob = np.asarray(out["prob"])
     np.testing.assert_allclose(prob.sum(-1), 1.0, atol=1e-3)

@@ -64,10 +64,10 @@ def test_device_matches_host_assignment(seed):
     # labels match on fg
     np.testing.assert_array_equal(np.asarray(dev["labels"])[host_fg],
                                   host_tf[host_fg, 4].astype(np.int32))
-    # regression targets match on fg
-    np.testing.assert_allclose(np.asarray(dev["bbox_2d"])[host_fg],
+    # regression targets match on fg (device outputs are channel-major [P,N])
+    np.testing.assert_allclose(np.asarray(dev["bbox_2d"]).T[host_fg],
                                host_tf[host_fg, 0:4], rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(dev["bbox_3d"])[host_fg],
+    np.testing.assert_allclose(np.asarray(dev["bbox_3d"]).T[host_fg],
                                host_tf[host_fg, 5:12], rtol=1e-4, atol=1e-4)
 
 
