@@ -23,6 +23,9 @@ class Config:
     # ---------------------------------------------------------------- general
     model: str = "m3d_rpn_align"
     ida_dcnv2: bool = True            # deformable proj/node convs in IDAUp
+    # clamp for learned DCN offsets enabling the gather-free shifted-MAC
+    # implementation (ops/dcn.py:dcn_v2_shift); None = unbounded gather path
+    dcn_shift_clamp: Optional[float] = 1.0
     attention: Optional[str] = None   # None | "ANAB"
 
     # feature alignment (ref:model/module/feturealign_mgpu.py)

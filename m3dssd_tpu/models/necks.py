@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.dcn import dcn_v2
+from ..ops.dcn import dcn_v2, dcn_v2_shift
 from .dla import make_dla
 from .layers import BN_MOMENTUM, BilinearUpsample, leaky_relu
 
@@ -24,11 +24,17 @@ class DCN(nn.Module):
 
     A zero-initialized conv predicts per-tap (dy, dx) and a sigmoid mask; at
     init the op is exactly a plain conv (offsets 0, mask 0.5).
+
+    `shift_clamp`: when set (default 1.0), offsets are clamped to that range
+    and the op runs as gather-free shifted MACs (`dcn_v2_shift` — measured
+    1.7x faster and scatter-free in backward; see PERF.md). Set None for the
+    unbounded gather path.
     """
     features: int
     kernel: int = 3
     stride: int = 1
     dilation: int = 1
+    shift_clamp: Any = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -50,6 +56,11 @@ class DCN(nn.Module):
                                 1.0 / 3.0, "fan_in", "uniform"),
                             (K, K, x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.shift_clamp is not None and self.stride == 1 \
+                and self.dilation == 1:
+            return dcn_v2_shift(x, offset, mask, weight.astype(x.dtype),
+                                bias.astype(x.dtype),
+                                clamp=float(self.shift_clamp))
         return dcn_v2(x, offset, mask, weight.astype(x.dtype),
                       bias.astype(x.dtype), stride=self.stride,
                       padding=self.dilation * (K - 1) // 2,
@@ -59,11 +70,13 @@ class DCN(nn.Module):
 class DeformConv(nn.Module):
     """DCN -> BN -> LeakyReLU (ref:model/pose_dla_dcn.py:471-485)."""
     features: int
+    shift_clamp: Any = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = DCN(self.features, 3, dtype=self.dtype)(x)
+        x = DCN(self.features, 3, shift_clamp=self.shift_clamp,
+                dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          dtype=self.dtype)(x)
         return leaky_relu(x)
@@ -88,10 +101,15 @@ class IDAUp(nn.Module):
     out_features: int
     up_factors: Sequence[int]   # per level, relative to the first
     use_dcn: bool = True
+    shift_clamp: Any = 1.0
     dtype: Any = jnp.float32
 
     def setup(self):
-        conv = DeformConv if self.use_dcn else PlainConv
+        if self.use_dcn:
+            conv = lambda f, dtype: DeformConv(f, shift_clamp=self.shift_clamp,
+                                               dtype=dtype)
+        else:
+            conv = PlainConv
         n = len(self.up_factors)
         self.projs = [conv(self.out_features, dtype=self.dtype)
                       for _ in range(1, n)]
@@ -114,6 +132,7 @@ class DLAUp(nn.Module):
     """Full aggregation pyramid (ref:model/pose_dla_dcn.py:556-578)."""
     channels: Sequence[int]       # channels of levels [first_level:]
     use_dcn: bool = True
+    shift_clamp: Any = 1.0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -125,7 +144,9 @@ class DLAUp(nn.Module):
             j = -i - 2
             idas.append(IDAUp(ch[j],
                               [s // scales[j] for s in scales[j:]],
-                              use_dcn=self.use_dcn, dtype=self.dtype))
+                              use_dcn=self.use_dcn,
+                              shift_clamp=self.shift_clamp,
+                              dtype=self.dtype))
             scales[j + 1:] = [scales[j]] * len(scales[j + 1:])
             in_ch[j + 1:] = [ch[j]] * len(in_ch[j + 1:])
         self.idas = idas
@@ -147,6 +168,7 @@ class DLASeg(nn.Module):
     down_ratio: int = 8
     last_level: int = 5
     use_dcn: bool = True
+    shift_clamp: Any = 1.0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -155,11 +177,12 @@ class DLASeg(nn.Module):
         self.first_level = int(np.log2(self.down_ratio))
         self.out_channels = channels[self.first_level]
         self.dla_up = DLAUp(channels[self.first_level:], use_dcn=self.use_dcn,
-                            dtype=self.dtype)
+                            shift_clamp=self.shift_clamp, dtype=self.dtype)
         n_final = self.last_level - self.first_level
         self.ida_up = IDAUp(self.out_channels,
                             [2 ** i for i in range(n_final)],
-                            use_dcn=self.use_dcn, dtype=self.dtype)
+                            use_dcn=self.use_dcn,
+                            shift_clamp=self.shift_clamp, dtype=self.dtype)
 
     def __call__(self, x, train: bool = True):
         levels = self.base(x, train)

@@ -87,13 +87,16 @@ class M3DRPN(nn.Module):
     center_align: bool = False
     shape_align: bool = False
     ida_dcnv2: bool = True
+    dcn_shift_clamp: Any = 1.0
     head_hidden: int = 256
     dtype: Any = jnp.float32
 
     def setup(self):
         self.base = DLASeg(base_name=self.back_bone,
                            down_ratio=self.feat_stride,
-                           use_dcn=self.ida_dcnv2, dtype=self.dtype)
+                           use_dcn=self.ida_dcnv2,
+                           shift_clamp=self.dcn_shift_clamp,
+                           dtype=self.dtype)
         A = self.num_anchors
         t = lambda out, k=1: Tower(out, self.head_hidden, k, dtype=self.dtype)
         self.cls_tower = t(A * self.num_classes, k=3)
@@ -207,5 +210,6 @@ def build(conf, phase: str = "train") -> M3DRPN:
         center_align=conf.center_align,
         shape_align=conf.shape_align,
         ida_dcnv2=conf.ida_dcnv2,
+        dcn_shift_clamp=getattr(conf, "dcn_shift_clamp", 1.0),
         dtype=dtype,
     )

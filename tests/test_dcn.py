@@ -158,3 +158,38 @@ def test_bilinear_sample_paired_matches_plain():
     a = np.asarray(bilinear_sample(x[:1], pyi, pxi))
     b = np.asarray(bilinear_sample_paired(x[:1], pyi, pxi))
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_dcn_shift_matches_gather_for_clamped_offsets():
+    from m3dssd_tpu.ops.dcn import dcn_v2_shift
+    rng = np.random.default_rng(11)
+    B, H, W, C, Co = 2, 7, 9, 6, 5
+    x = jnp.array(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    offset = jnp.array(np.clip(rng.normal(size=(B, H, W, 9, 2)) * 0.7,
+                               -1, 1).astype(np.float32))
+    mask = jnp.array(rng.uniform(0.2, 1, size=(B, H, W, 9)).astype(np.float32))
+    w = jnp.array((rng.normal(size=(3, 3, C, Co)) * 0.3).astype(np.float32))
+    b = jnp.array(rng.normal(size=(Co,)).astype(np.float32))
+    a = np.asarray(dcn_v2(x, offset, mask, w, b))
+    s = np.asarray(dcn_v2_shift(x, offset, mask, w, b, clamp=1.0))
+    np.testing.assert_allclose(s, a, rtol=1e-4, atol=1e-4)
+    # out-of-range offsets are clamped (differs from gather by design)
+    big = offset * 10.0
+    s2 = np.asarray(dcn_v2_shift(x, big, mask, w, b, clamp=1.0))
+    s3 = np.asarray(dcn_v2_shift(x, jnp.clip(big, -1, 1), mask, w, b, clamp=1.0))
+    np.testing.assert_allclose(s2, s3, rtol=1e-5)
+
+
+def test_dcn_shift_gradients_flow():
+    from m3dssd_tpu.ops.dcn import dcn_v2_shift
+    rng = np.random.default_rng(12)
+    x = jnp.array(rng.normal(size=(1, 5, 6, 4)).astype(np.float32))
+    offset = jnp.array((rng.normal(size=(1, 5, 6, 9, 2)) * 0.3).astype(np.float32))
+    mask = jnp.array(rng.uniform(0.5, 1, size=(1, 5, 6, 9)).astype(np.float32))
+    w = jnp.array((rng.normal(size=(3, 3, 4, 4)) * 0.2).astype(np.float32))
+
+    def loss(o):
+        return jnp.sum(dcn_v2_shift(x, o, mask, w, clamp=1.0) ** 2)
+
+    g = np.asarray(jax.grad(loss)(offset))
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0

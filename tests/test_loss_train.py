@@ -246,3 +246,40 @@ def test_freeze_layers_mask(tiny_conf):
             if "base" not in jax.tree_util.keystr(k)]
     assert frozen and all(frozen)
     assert live and not all(live)
+
+
+def test_extras_focal_and_dice():
+    from m3dssd_tpu.losses.extras import dice_loss, sigmoid_focal_loss
+    logits = jnp.array([5.0, -5.0, 0.0])
+    targets = jnp.array([1.0, 0.0, 1.0])
+    fl = np.asarray(sigmoid_focal_loss(logits, targets))
+    # confident-correct predictions get tiny loss; uncertain larger
+    assert fl[0] < 1e-3 and fl[1] < 1e-3 and fl[2] > 0.04
+    # perfect dice ~ 0, inverted ~ 1
+    assert float(dice_loss(jnp.array([10., -10.]), jnp.array([1., 0.]))) < 0.01
+    assert float(dice_loss(jnp.array([-10., 10.]), jnp.array([1., 0.]))) > 0.9
+
+
+def test_extras_bin_roundtrip():
+    from m3dssd_tpu.losses.extras import (decode_bin, decode_heading,
+                                          encode_bin, encode_heading)
+    rng = np.random.default_rng(0)
+    v = jnp.array(rng.uniform(-3, 3, 50))
+    b, r = encode_bin(v, search_range=3.0, num_bins=12)
+    np.testing.assert_allclose(np.asarray(decode_bin(b, r, 3.0, 12)),
+                               np.asarray(v), atol=1e-5)
+    a = jnp.array(rng.uniform(-np.pi, np.pi, 50))
+    hb, hr = encode_heading(a, 12)
+    back = np.asarray(decode_heading(hb, hr, 12))
+    np.testing.assert_allclose(np.unwrap(back - np.asarray(a)), 0, atol=1e-5)
+
+
+def test_extras_bin_reg_loss_zero_at_gt():
+    from m3dssd_tpu.losses.extras import bin_based_reg_loss, encode_bin
+    rng = np.random.default_rng(1)
+    gt = jnp.array(rng.uniform(-2, 2, 10))
+    b, r = encode_bin(gt, 2.0, 8)
+    logits = jax.nn.one_hot(b, 8) * 50.0      # confident correct bin
+    res = jnp.zeros((10, 8)).at[jnp.arange(10), b].set(r)
+    loss = float(bin_based_reg_loss(logits, res, gt, 2.0, 8))
+    assert loss < 1e-3
