@@ -2,9 +2,11 @@
 """Throughput benchmark: end-to-end detection (forward + decode + NMS) on
 the flagship model at the BASELINE.json throughput shape (512x1760).
 
-Prints ONE JSON line:
+Prints ONE JSON line (stdout):
     {"metric": "images_per_sec_per_chip", "value": N, "unit": "im/s",
      "vs_baseline": N}
+plus a detail block on stderr: bs=1 latency, batched throughput, FLOPs from
+XLA cost analysis, and MFU vs the chip's bf16 peak.
 
 The reference publishes no speed numbers; BASELINE.md's speed gate targets
 >=5x a reference-GPU single-image pipeline. We anchor vs_baseline to an
@@ -22,6 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ASSUMED_REF_IMAGES_PER_SEC = 10.0
 SHAPE = (512, 1760)
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+# bf16 peak of one TPU v5e chip (the benchmark device)
+PEAK_BF16_FLOPS = 197e12
+
+
+def _time_loop(fn, iters):
+    import jax
+    out = fn()                       # warmup / compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -38,7 +54,7 @@ def main():
 
     from __graft_entry__ import _flagship_conf
     from m3dssd_tpu.anchors import locate_anchors
-    from m3dssd_tpu.inference.detect import make_detector
+    from m3dssd_tpu.inference.detect import make_batch_detector, make_detector
     from m3dssd_tpu.models import build
 
     conf = _flagship_conf(SHAPE)
@@ -46,34 +62,55 @@ def main():
     rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
 
     rng = jax.random.PRNGKey(0)
-    x = jnp.asarray(np.random.default_rng(0).normal(
-        size=(1, SHAPE[0], SHAPE[1], 3)).astype(np.float32))
+    gen = np.random.default_rng(0)
     # params are input-size independent: init at a tiny shape to avoid
     # compiling the full-resolution forward twice
     variables = model.init(rng, jnp.zeros((1, 64, 128, 3), jnp.float32),
                            train=False)
-    detect = make_detector(conf, rois, model)
-
     params, bs = variables["params"], variables.get("batch_stats", {})
+
+    # ---------------------------------------------------------- bs=1 latency
+    detect1 = make_detector(conf, rois, model)
+    x1 = jnp.asarray(gen.normal(
+        size=(1, SHAPE[0], SHAPE[1], 3)).astype(np.float32))
     sf = np.float32(1.0)
+    lat = _time_loop(lambda: detect1(params, bs, x1, sf), 30)
+    ips1 = 1.0 / lat
 
-    # warmup / compile
-    dets = detect(params, bs, x, sf)
-    jax.block_until_ready(dets)
+    # ------------------------------------------------------ batch throughput
+    detectB = make_batch_detector(conf, rois, model)
+    xB = jnp.asarray(gen.normal(
+        size=(BATCH, SHAPE[0], SHAPE[1], 3)).astype(np.float32))
+    sfB = jnp.ones((BATCH,), jnp.float32)
+    iters = max(30 // BATCH, 8)
+    step = _time_loop(lambda: detectB(params, bs, xB, sfB), iters)
+    ipsB = BATCH / step
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        dets = detect(params, bs, x, sf)
-    jax.block_until_ready(dets)
-    dt = time.perf_counter() - t0
+    # ------------------------------------------------- FLOPs / MFU estimate
+    mfu_line = ""
+    try:
+        # make_batch_detector returns a jitted fn: lower() reuses the cache
+        cost = detectB.lower(params, bs, xB, sfB).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        flops_per_im = flops / BATCH
+        mfu = flops_per_im * ipsB / PEAK_BF16_FLOPS
+        mfu_line = (f" flops/im={flops_per_im / 1e9:.1f}G"
+                    f" mfu={100 * mfu:.1f}%")
+    except Exception as e:  # cost analysis is best-effort
+        mfu_line = f" (cost analysis unavailable: {e})"
 
-    ips = iters / dt
+    print(f"bench: bs=1 latency {1e3 * lat:.2f} ms ({ips1:.1f} im/s); "
+          f"bs={BATCH} throughput {ipsB:.1f} im/s/chip "
+          f"({1e3 * step:.1f} ms/step){mfu_line}",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
-        "value": round(ips, 3),
+        "value": round(ipsB, 3),
         "unit": "im/s",
-        "vs_baseline": round(ips / ASSUMED_REF_IMAGES_PER_SEC, 3),
+        "vs_baseline": round(ipsB / ASSUMED_REF_IMAGES_PER_SEC, 3),
     }))
 
 

@@ -116,7 +116,15 @@ class Config:
     test_protocol: str = "kitti"
     test_db: str = "kitti"
 
+    # eval-time inference batch size (the reference is hardwired bs=1,
+    # ref:lib/dataloader.py:906; batching is AP-neutral throughput here)
+    eval_batch_size: int = 8
+
     # ----------------------------------------------------------------- anchors
+    # cluster_anchors > 0 enables IoU k-means refinement; even_anchors seeds
+    # clusters from height-sorted gt slices; expand_anchors (> A) grows the
+    # anchor count while mean IoU improves (anchors.cluster_anchors,
+    # ref:lib/rpn_util.py:186-427)
     cluster_anchors: int = 0
     even_anchors: int = 0
     expand_anchors: int = 0

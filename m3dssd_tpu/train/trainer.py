@@ -45,6 +45,17 @@ class Trainer:
         os.makedirs(output_dir, exist_ok=True)
         init_logging(os.path.join(output_dir, "log", "train.log"))
 
+        # Parity pinning: importing a reference checkpoint with learned DCN
+        # offsets forces the exact gather-path DCN (see
+        # torch_import.pin_parity_conf) — must happen BEFORE the model is
+        # built and before the conf is persisted with the run.
+        self._pretrained_sd = None
+        if conf.pretrained and not os.path.isdir(conf.pretrained):
+            from ..utils.torch_import import load_torch_file, pin_parity_conf
+            self._pretrained_sd = load_torch_file(conf.pretrained)
+            conf = pin_parity_conf(conf, self._pretrained_sd)
+            self.conf = conf
+
         self.dataset = Kitti3DDataset(conf, data_root, phase="train",
                                       cache_folder=cache_folder)
         self.loader = TrainLoader(self.dataset, conf.batch_size,
@@ -74,6 +85,7 @@ class Trainer:
 
         self.best_metric = -1.0
         self.val_dataset = None
+        self._eval_detect = None
         from ..utils.profiling import make_tb_writer
         self.writer = make_tb_writer(os.path.join(output_dir, "log", "tb"))
 
@@ -88,7 +100,8 @@ class Trainer:
             return
         from ..utils.torch_import import (load_reference_checkpoint,
                                           load_torch_file)
-        sd = load_torch_file(path)
+        sd = self._pretrained_sd if self._pretrained_sd is not None \
+            else load_torch_file(path)
         block = "basic" if conf.back_bone in ("dla34", "dla34_depth") \
             else "bottleneck"
         params, batch_stats, stats = load_reference_checkpoint(
@@ -104,15 +117,27 @@ class Trainer:
         if self.val_dataset is None:
             self.val_dataset = Kitti3DDataset(conf, self.data_root,
                                               phase="validation")
-        detect = make_detector(conf, self.dataset.rois, self.model)
+        # build the (batched) jitted detector ONCE and keep it alive across
+        # eval epochs — a fresh closure per epoch would be a new jit cache
+        # entry and a recompile (or at best a disk-cache hit)
+        eval_bs = max(int(getattr(conf, "eval_batch_size", 1)), 1)
+        if self._eval_detect is None:
+            if eval_bs > 1:
+                from ..inference.detect import make_batch_detector
+                self._eval_detect = make_batch_detector(
+                    conf, self.dataset.rois, self.model)
+            else:
+                self._eval_detect = make_detector(conf, self.dataset.rois,
+                                                  self.model)
         results = os.path.join(self.output_dir, "results",
                                f"results_{epoch}", "data")
         gt_path = os.path.join(self.data_root,
                                conf.datasets_validation[0]["name"],
                                "validation", "label_2")
-        res, sel = test_kitti_3d(self.val_dataset, detect, self.state.params,
+        res, sel = test_kitti_3d(self.val_dataset, self._eval_detect,
+                                 self.state.params,
                                  self.state.batch_stats, conf, results,
-                                 gt_path=gt_path)
+                                 gt_path=gt_path, batch_size=eval_bs)
         if res:
             logging.info("eval epoch %d: Car 3D R40 = %s", epoch,
                          res.get("Car_3d_R40"))

@@ -307,6 +307,34 @@ def load_reference_checkpoint(variables, state_dict: Dict[str, Any],
     return params, batch_stats, stats
 
 
+def has_learned_dcn_offsets(state_dict: Dict[str, Any]) -> bool:
+    """True if the checkpoint carries learned DCN offset predictors
+    (ref:model/DCNv2/dcn_v2.py:44-70 `conv_offset_mask`)."""
+    return any("conv_offset_mask" in k for k in state_dict)
+
+
+def pin_parity_conf(conf, state_dict: Dict[str, Any]):
+    """Force the exact gather-path DCN when importing reference weights.
+
+    The shift-decomposed DCN (`ops/dcn.py:dcn_v2_shift`, enabled by
+    `conf.dcn_shift_clamp`) is exact only for |offset| <= clamp. Reference
+    checkpoints have *unbounded* learned neck offsets
+    (ref:model/DCNv2/dcn_v2.py:44-70), so any checkpoint containing
+    `conv_offset_mask` weights must run through the unbounded gather path
+    (`dcn_v2`) or its forward silently diverges from the reference.
+    ImageNet-DLA trunk checkpoints have no offset predictors and keep the
+    fast shift path (offsets are then zero-init and stay within the clamp
+    early in training by construction).
+    """
+    if getattr(conf, "dcn_shift_clamp", None) is not None \
+            and has_learned_dcn_offsets(state_dict):
+        logging.info(
+            "torch import: checkpoint has learned DCN offsets -> pinning "
+            "dcn_shift_clamp=None (exact gather path, parity configuration)")
+        return conf.replace(dcn_shift_clamp=None)
+    return conf
+
+
 def load_torch_file(path: str) -> Dict[str, Any]:
     """Load a .pth/.pkl torch checkpoint on CPU."""
     import torch

@@ -17,6 +17,9 @@ def main():
     p.add_argument("--data_root", required=True)
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--phase", default="validation")
+    p.add_argument("--torch_weights", default=None,
+                   help="reference-format .pth/.pkl checkpoint to evaluate "
+                        "(parity mode: forces the exact gather-path DCN)")
     args = p.parse_args()
 
     import jax
@@ -30,23 +33,51 @@ def main():
     from m3dssd_tpu.utils.checkpoint import restore_checkpoint, latest_step
 
     conf = Config.load(os.path.join(args.run_dir, "conf.pkl"))
-    model = build(conf, "test")
-    state = create_train_state(conf, model, jax.random.PRNGKey(0), max_iter=1)
-    state = restore_checkpoint(os.path.join(args.run_dir, "weights"), state,
-                               args.step)
+    if args.torch_weights:
+        from m3dssd_tpu.utils.torch_import import (
+            load_reference_checkpoint, load_torch_file, pin_parity_conf)
+        sd = load_torch_file(args.torch_weights)
+        conf = pin_parity_conf(conf, sd)
+        model = build(conf, "test")
+        state = create_train_state(conf, model, jax.random.PRNGKey(0),
+                                   max_iter=1)
+        block = "basic" if conf.back_bone in ("dla34", "dla34_depth") \
+            else "bottleneck"
+        params, batch_stats, _ = load_reference_checkpoint(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            sd, num_anchors=conf.anchors.shape[0],
+            num_classes=conf.num_classes, block=block)
+        state = state.replace(params=params, batch_stats=batch_stats)
+    else:
+        model = build(conf, "test")
+        state = create_train_state(conf, model, jax.random.PRNGKey(0),
+                                   max_iter=1)
+        state = restore_checkpoint(os.path.join(args.run_dir, "weights"),
+                                   state, args.step)
 
     dataset = Kitti3DDataset(conf, args.data_root, phase=args.phase)
     rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
-    detect = make_detector(conf, rois, model)
-    step = args.step or latest_step(os.path.join(args.run_dir, "weights"))
-    results = os.path.join(args.run_dir, "results", f"results_test_{step}",
-                           "data")
+    eval_bs = max(int(getattr(conf, "eval_batch_size", 1)), 1)
+    if eval_bs > 1:
+        from m3dssd_tpu.inference.detect import make_batch_detector
+        detect = make_batch_detector(conf, rois, model)
+    else:
+        detect = make_detector(conf, rois, model)
+    if args.torch_weights:
+        tag = os.path.splitext(os.path.basename(args.torch_weights))[0]
+        results = os.path.join(args.run_dir, "results",
+                               f"results_parity_{tag}", "data")
+    else:
+        step = args.step or latest_step(os.path.join(args.run_dir, "weights"))
+        results = os.path.join(args.run_dir, "results",
+                               f"results_test_{step}", "data")
     gt_path = os.path.join(args.data_root,
                            conf.datasets_validation[0]["name"],
                            args.phase, "label_2")
     res, sel = test_kitti_3d(dataset, detect, state.params, state.batch_stats,
                              conf, results,
-                             gt_path=gt_path if os.path.isdir(gt_path) else None)
+                             gt_path=gt_path if os.path.isdir(gt_path) else None,
+                             batch_size=eval_bs)
     if res:
         print(res["_text"])
         print("selection metric (mean Car 3D R40):", sel)

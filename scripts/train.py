@@ -26,7 +26,19 @@ def main():
     p.add_argument("--backbone", default=None)
     p.add_argument("--crop", type=int, nargs=2, default=None)
     p.add_argument("--no_pretrain", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host training: call jax.distributed.initialize"
+                        " before backend init (same SPMD code then spans "
+                        "hosts over DCN; coordinator/process env vars per "
+                        "the JAX multi-process docs)")
     args = p.parse_args()
+
+    if args.distributed:
+        # must run before any JAX backend use; single-host behavior is
+        # unchanged when the flag is absent (SURVEY §2.9: the DataParallel
+        # replacement scales over ICI, multi-host rides DCN)
+        import jax
+        jax.distributed.initialize()
 
     from m3dssd_tpu.config import load_config
     from m3dssd_tpu.train.trainer import Trainer

@@ -36,7 +36,12 @@ def main():
     state = create_train_state(conf, model, jax.random.PRNGKey(0), max_iter=1)
     dataset = Kitti3DDataset(conf, args.data_root, phase="validation")
     rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
-    detect = make_detector(conf, rois, model)
+    eval_bs = max(int(getattr(conf, "eval_batch_size", 1)), 1)
+    if eval_bs > 1:
+        from m3dssd_tpu.inference.detect import make_batch_detector
+        detect = make_batch_detector(conf, rois, model)
+    else:
+        detect = make_detector(conf, rois, model)
     gt_path = os.path.join(args.data_root,
                            conf.datasets_validation[0]["name"],
                            "validation", "label_2")
@@ -57,7 +62,8 @@ def main():
                                        f"results_watch_{step}", "data")
                 res, sel = test_kitti_3d(dataset, detect, st.params,
                                          st.batch_stats, conf, results,
-                                         gt_path=gt_path)
+                                         gt_path=gt_path,
+                                         batch_size=eval_bs)
                 print(f"step {step}: mean Car 3D R40 = {sel:.4f}")
         polls += 1
         time.sleep(args.poll_sec)

@@ -36,6 +36,53 @@ def test_generate_anchors_shapes_and_priors(imdb, tiny_conf):
     assert np.all(anchors[:, 5:8] < 8.0)
 
 
+def test_cluster_anchors_improves_iou(imdb, tiny_conf):
+    """k-means clustering must improve mean anchor-gt IoU over the geometric
+    ladder (ref:lib/rpn_util.py:186-427)."""
+    from m3dssd_tpu.anchors import _normalized_gts, cluster_anchors
+
+    conf = tiny_conf.replace(anchors=None, cluster_anchors=1)
+    norm_gts = _normalized_gts(conf, imdb)
+    assert norm_gts.shape[0] > 0
+
+    def mean_iou(anc):
+        return float(np.max(geo.iou(anc[:, :4], norm_gts[:, :4]), axis=0).mean())
+
+    ladder = generate_anchors(conf.replace(cluster_anchors=0), imdb)
+    clustered = cluster_anchors(conf, ladder, imdb)
+    assert clustered.shape[1] == 9
+    assert np.all(np.isfinite(clustered))
+    assert mean_iou(clustered) >= mean_iou(ladder)
+    # 3D prior tails are cluster means: plausible ranges
+    assert np.all(clustered[:, 4] > 0)
+
+
+def test_cluster_anchors_even_and_expand(imdb, tiny_conf):
+    """even_anchors seeds from height-sorted gt slices; expand_anchors grows
+    the anchor count while mean IoU improves (ref:lib/rpn_util.py:267-285,
+    404-420)."""
+    from m3dssd_tpu.anchors import _normalized_gts, cluster_anchors
+
+    base = tiny_conf.replace(anchors=None, cluster_anchors=1,
+                             num_anchor_scales=2)
+    ladder = generate_anchors(base.replace(cluster_anchors=0), imdb)
+    A0 = ladder.shape[0]
+    norm_gts = _normalized_gts(base, imdb)
+
+    even = cluster_anchors(base.replace(even_anchors=1), ladder, imdb)
+    assert even.shape[1] == 9 and np.all(np.isfinite(even))
+
+    expanded = cluster_anchors(base.replace(expand_anchors=A0 + 4),
+                               ladder, imdb)
+    assert A0 <= expanded.shape[0] <= A0 + 4
+
+    def mean_iou(anc):
+        return float(np.max(geo.iou(anc[:, :4], norm_gts[:, :4]), axis=0).mean())
+
+    fixed = cluster_anchors(base, ladder, imdb)
+    assert mean_iou(expanded) >= mean_iou(fixed) - 1e-9
+
+
 def test_locate_anchors_order_and_values():
     anchors = np.array([[0., 0., 7., 7., 0, 0, 0, 0, 0],
                         [0., 0., 15., 15., 0, 0, 0, 0, 0]])

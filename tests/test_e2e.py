@@ -112,6 +112,41 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_batched_driver_matches_single(synthetic_kitti, tiny_conf, tmp_path):
+    """test_kitti_3d with batch_size>1 (padded tail, threaded prefetch,
+    double-buffered dispatch) must write byte-identical result txts to the
+    bs=1 path."""
+    import jax.numpy as jnp
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.inference.detect import make_batch_detector, make_detector
+    from m3dssd_tpu.inference.test_driver import test_kitti_3d
+    from m3dssd_tpu.models import build
+
+    conf = tiny_conf.replace(anchors=None, score_thres=0.05)
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
+    val = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
+    model = build(conf)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 128, 3), jnp.float32), train=False)
+    p, bs = v["params"], v.get("batch_stats", {})
+
+    res1 = str(tmp_path / "res1")
+    resB = str(tmp_path / "resB")
+    test_kitti_3d(val, make_detector(conf, ds.rois, model), p, bs, conf,
+                  res1, evaluate=False)
+    # batch 3 over 4 val images exercises the padded tail
+    test_kitti_3d(val, make_batch_detector(conf, ds.rois, model), p, bs,
+                  conf, resB, evaluate=False, batch_size=3)
+
+    import glob
+    files1 = sorted(glob.glob(os.path.join(res1, "*.txt")))
+    filesB = sorted(glob.glob(os.path.join(resB, "*.txt")))
+    assert [os.path.basename(f) for f in files1] == \
+        [os.path.basename(f) for f in filesB] and files1
+    for f1, fB in zip(files1, filesB):
+        assert open(f1).read() == open(fB).read(), os.path.basename(f1)
+
+
 def test_batch_detector_matches_single(synthetic_kitti, tiny_conf):
     """The batched detector must produce the same detections as the bs=1
     detector for each image."""

@@ -98,6 +98,51 @@ def test_import_roundtrip_values(model_and_vars):
                                        rtol=1e-6, err_msg=parts)
 
 
+def test_pin_parity_conf():
+    """Checkpoints with learned DCN offsets must force the gather path
+    (dcn_shift_clamp=None); trunk-only checkpoints keep the fast shift path."""
+    from m3dssd_tpu.utils.torch_import import pin_parity_conf
+
+    conf = kitti_3d_anab_fullalign()
+    assert conf.dcn_shift_clamp is not None  # fast path is the default
+    sd_ref = {"base.dla_up.ida_0.proj_1.conv.conv_offset_mask.weight":
+              np.zeros((27, 8, 3, 3), np.float32)}
+    sd_trunk = {"base.base.base_layer.0.weight":
+                np.zeros((16, 3, 7, 7), np.float32)}
+    assert pin_parity_conf(conf, sd_ref).dcn_shift_clamp is None
+    assert pin_parity_conf(conf, sd_trunk).dcn_shift_clamp == \
+        conf.dcn_shift_clamp
+    # already-pinned conf stays pinned
+    pinned = conf.replace(dcn_shift_clamp=None)
+    assert pin_parity_conf(pinned, sd_ref).dcn_shift_clamp is None
+
+
+def test_trainer_pins_parity_on_torch_import(synthetic_kitti, tiny_conf,
+                                             tmp_path):
+    """An imported reference-format checkpoint (learned DCN offsets) must
+    never run through dcn_v2_shift: the Trainer auto-pins the conf before
+    building the model, and persists the pinned conf with the run."""
+    import torch
+
+    from m3dssd_tpu.config import Config
+    from m3dssd_tpu.train.trainer import Trainer
+
+    pth = tmp_path / "ref_ckpt.pth"
+    torch.save({"base.dla_up.ida_0.proj_1.conv.conv_offset_mask.weight":
+                torch.zeros((27, 8, 3, 3))}, str(pth))
+
+    conf = tiny_conf.replace(pretrained=str(pth))
+    assert conf.dcn_shift_clamp is not None
+    out = tmp_path / "run"
+    tr = Trainer(conf, synthetic_kitti, str(out), use_mesh=False)
+    assert tr.conf.dcn_shift_clamp is None
+    assert tr.model.dcn_shift_clamp is None
+    # the conf persisted with the run must be the pinned one, so
+    # scripts/test.py rebuilds the same (gather-path) graph
+    saved = Config.load(str(out / "conf.pkl"))
+    assert saved.dcn_shift_clamp is None
+
+
 def test_import_model_still_runs(model_and_vars):
     conf, model, v = model_and_vars
     A, C = conf.anchors.shape[0], conf.num_classes
