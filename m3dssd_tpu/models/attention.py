@@ -69,6 +69,43 @@ class ANAB(nn.Module):
         return out.reshape(B, H, W, C) + x
 
 
+class NLUp(nn.Module):
+    """Cross-resolution position attention (SAGAN-style) between a query map
+    and a (possibly coarser) value map (ref:model/pose_dla_dcn.py:591-639
+    NL_Up). Full O(q_HW x v_HW) attention — two batched MXU matmuls.
+
+    Capability-parity side module: available to necks but unused by the
+    trained reference configuration (like its upstream counterpart).
+    """
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, v, train: bool = True):
+        B, qh, qw, q_ch = q.shape
+        _, vh, vw, v_ch = v.shape
+        from .layers import BN_MOMENTUM
+
+        if v_ch != q_ch:
+            key = nn.Conv(q_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                          name="k_conv")(v)
+            value = nn.Conv(q_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                            name="v_conv")(v)
+        else:
+            key, value = v, v
+        qn = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                          dtype=self.dtype, name="q_bn")(q)
+        kn = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                          dtype=self.dtype, name="k_bn")(key)
+
+        qf = qn.reshape(B, qh * qw, q_ch)
+        kf = kn.reshape(B, vh * vw, q_ch)
+        vf = value.reshape(B, vh * vw, q_ch)
+        att = nn.softmax(jnp.einsum("bqc,bsc->bqs", qf, kf)
+                         .astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bqs,bsc->bqc", att, vf)
+        return out.reshape(B, qh, qw, q_ch)
+
+
 class NLPM(nn.Module):
     """Non-local pyramid module variant without the learned spatial gates
     (ref:model/module/attention.py:43-109). Capability-parity module."""

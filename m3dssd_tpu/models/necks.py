@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.dcn import dcn_v2, dcn_v2_shift
+from ..ops.dcn import bilinear_sample, dcn_v2, dcn_v2_shift
 from .dla import make_dla
 from .layers import BN_MOMENTUM, BilinearUpsample, leaky_relu
 
@@ -80,6 +80,83 @@ class DeformConv(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          dtype=self.dtype)(x)
         return leaky_relu(x)
+
+
+class DeformLocConv(nn.Module):
+    """Row-banded ("depth-aware") deformable conv: each of `num_rows`
+    horizontal bands has its own learned DCN offsets and weights
+    (ref:model/pose_dla_dcn.py:487-517).
+
+    TPU-native formulation: bands fold into the batch dim for one fused
+    bilinear gather and into a batched MXU einsum for the per-band weights —
+    no unfold/permute round trips, no grouped-DCN CUDA kernel. Offsets come
+    from one grouped conv over the channel-folded bands (zero-init, so the
+    op starts as 0.5x a per-band plain conv, like the reference DCN).
+
+    Capability-parity side module (unused by the trained reference config).
+    """
+    features: int
+    num_rows: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        B, H, W, C = x.shape
+        r = self.num_rows
+        K = self.kernel
+        KK = K * K
+        pad = K // 2
+        t = H // r
+        assert t * r == H, f"H={H} not divisible by num_rows={r}"
+
+        xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+        # overlapping bands [B, r, t+2p, W+2p, C]
+        bands = jnp.stack([xp[:, i * t:i * t + t + 2 * pad] for i in range(r)],
+                          axis=1)
+
+        # per-band offset/mask predictor: grouped conv on channel-folded bands
+        folded = bands.transpose(0, 2, 3, 1, 4).reshape(
+            B, t + 2 * pad, W + 2 * pad, r * C)
+        om = nn.Conv(r * 3 * KK, (K, K), padding="VALID",
+                     feature_group_count=r,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros,
+                     dtype=self.dtype, name="conv_offset_mask")(folded)
+        om = om.reshape(B, t, W, r, 3 * KK).transpose(0, 3, 1, 2, 4)
+        o_y, o_x, m = jnp.split(om, 3, axis=-1)           # [B,r,t,W,KK]
+        mask = nn.sigmoid(m)
+
+        # deformable sampling with bands as batch
+        xb = bands.reshape(B * r, t + 2 * pad, W + 2 * pad, C)
+        f32 = jnp.float32
+        ys = jnp.arange(t, dtype=f32)                     # padded coords
+        xs = jnp.arange(W, dtype=f32)
+        tap_y = jnp.repeat(jnp.arange(K, dtype=f32), K)
+        tap_x = jnp.tile(jnp.arange(K, dtype=f32), K)
+        py = (ys[None, :, None, None] + tap_y[None, None, None, :]
+              + o_y.reshape(B * r, t, W, KK).astype(f32))
+        px = (xs[None, None, :, None] + tap_x[None, None, None, :]
+              + o_x.reshape(B * r, t, W, KK).astype(f32))
+        sampled = bilinear_sample(xb, py, px)             # [B*r,t,W,KK,C]
+        sampled = sampled * mask.reshape(B * r, t, W, KK)[..., None] \
+            .astype(x.dtype)
+
+        cols = sampled.reshape(B, r, t * W, KK * C)
+        weight = self.param(
+            "weight", nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
+                                                       "uniform"),
+            (r, KK * C, self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (r, self.features))
+        y = jnp.einsum("brnk,rko->brno", cols.astype(x.dtype),
+                       weight.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        y = (y + bias[None, :, None, :]).astype(x.dtype)
+        y = y.reshape(B, H, W, self.features)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         dtype=self.dtype)(y)
+        return leaky_relu(y)
 
 
 class PlainConv(nn.Module):

@@ -86,6 +86,68 @@ def test_anab_shape_and_residual():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_nl_up_attention():
+    """NLUp: cross-resolution position attention; rows of the attention
+    matrix are convex combinations of value tokens."""
+    from m3dssd_tpu.models.attention import NLUp
+
+    rng = np.random.default_rng(5)
+    q = jnp.array(rng.normal(size=(2, 6, 8, 16)).astype(np.float32))
+    v = jnp.array(rng.normal(size=(2, 3, 4, 24)).astype(np.float32))
+    m = NLUp()
+    params = m.init(jax.random.PRNGKey(0), q, v, train=False)
+    y = m.apply(params, q, v, train=False)
+    assert y.shape == q.shape
+    assert np.isfinite(np.asarray(y)).all()
+    # softmax rows are convex weights: every output position lies within the
+    # [min, max] range of the projected value tokens (per channel)
+    kernel = np.asarray(params["params"]["v_conv"]["kernel"])[0, 0]  # [24,16]
+    vtok = np.asarray(v).reshape(2, -1, 24) @ kernel                 # [B,S,16]
+    out = np.asarray(y).reshape(2, -1, 16)
+    assert (out <= vtok.max(axis=1, keepdims=True) + 1e-5).all()
+    assert (out >= vtok.min(axis=1, keepdims=True) - 1e-5).all()
+
+
+def test_deform_loc_conv_zero_offset_equals_banded_conv():
+    """At init (zero offsets, mask 0.5) DeformLocConv must equal 0.5x a
+    per-band plain conv with the same weights — checked against the numpy
+    DCN oracle per band."""
+    from m3dssd_tpu.models.necks import DeformLocConv
+    from m3dssd_tpu.ops.dcn import dcn_v2_reference
+
+    B, H, W, C, F, r = 1, 8, 6, 5, 7, 2
+    rng = np.random.default_rng(7)
+    x = jnp.array(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    m = DeformLocConv(features=F, num_rows=r)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    y = np.asarray(m.apply(variables, x, train=False,
+                           mutable=["batch_stats"])[0])
+    assert y.shape == (B, H, W, F)
+
+    # reproduce pre-BN output with the oracle, band by band. NOTE bands see
+    # REAL neighbor rows in their halo (the module pads the full image then
+    # slices overlapping bands, like the reference's pad+unfold), so feed the
+    # oracle the padded band with padding=0.
+    w = np.asarray(variables["params"]["weight"])     # [r, 9C, F]
+    b = np.asarray(variables["params"]["bias"])       # [r, F]
+    t = H // r
+    xp = np.pad(np.asarray(x), [(0, 0), (1, 1), (1, 1), (0, 0)])
+    pre = np.zeros((B, H, W, F))
+    for i in range(r):
+        band = xp[:, i * t:i * t + t + 2]             # [B, t+2, W+2, C]
+        KK = 9
+        off = np.zeros((B, t, W, KK, 2))
+        mask = np.full((B, t, W, KK), 0.5)
+        wi = w[i].reshape(3, 3, C, F)
+        pre[:, i * t:i * t + t] = dcn_v2_reference(
+            band, off, mask, wi, b[i], stride=1, padding=0)
+    # apply the module's BN (init: mean 0 var 1) + leaky relu
+    bn = variables["params"]["BatchNorm_0"]
+    expect = pre * np.asarray(bn["scale"]) + np.asarray(bn["bias"])
+    expect = np.where(expect >= 0, expect, 0.01 * expect)
+    np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
+
+
 def _tiny_build_conf(tiny_conf, **kw):
     conf = tiny_conf.replace(**kw)
     if conf.anchors is None:
