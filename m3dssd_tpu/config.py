@@ -26,6 +26,9 @@ class Config:
     # clamp for learned DCN offsets enabling the gather-free shifted-MAC
     # implementation (ops/dcn.py:dcn_v2_shift); None = unbounded gather path
     dcn_shift_clamp: Optional[float] = 1.0
+    # exact space-to-depth stem: full-res 16-ch stem convs run phase-packed
+    # at half resolution (identical math + param tree; models/dla.py)
+    stem_s2d: bool = True
     attention: Optional[str] = None   # None | "ANAB"
 
     # feature alignment (ref:model/module/feturealign_mgpu.py)

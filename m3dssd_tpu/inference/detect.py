@@ -54,12 +54,13 @@ def make_detector(conf, rois: np.ndarray, model=None,
     def detect(params, batch_stats, image, scale_factor):
         out = apply_fn({"params": params, "batch_stats": batch_stats},
                        image, train=False)
-        prob = out["prob"][0].astype(jnp.float32)          # [N, C]
         d2 = out["bbox_2d"][0].astype(jnp.float32)         # [4, N]
         d3 = out["bbox_3d"][0].astype(jnp.float32)         # [7, N]
 
-        scores = jnp.max(prob[:, 1:], axis=1)
-        cls_pred = (jnp.argmax(prob[:, 1:], axis=1) + 1).astype(jnp.float32)
+        # score/class are computed inside the model in the conv-native
+        # layout (models/rpn.py); reducing prob [N, C] here costs ~2 ms/img
+        scores = out["scores"][0]
+        cls_pred = out["cls_pred"][0]
 
         if use_topk_pre:
             top_scores, top_idx = jax.lax.top_k(scores, top_pre)
@@ -110,9 +111,7 @@ def make_batch_detector(conf, rois: np.ndarray, model=None):
     src3d_t = jnp.asarray(np.asarray(conf.anchors)[tracker_np, 4:9].T,
                           jnp.float32)
 
-    def _one(prob, d2, d3, scale_factor):
-        scores = jnp.max(prob[:, 1:], axis=1)
-        cls_pred = (jnp.argmax(prob[:, 1:], axis=1) + 1).astype(jnp.float32)
+    def _one(scores, cls_pred, d2, d3, scale_factor):
         coords_2d = bbox_transform_inv_t(rois_t, d2, means_c[0:4],
                                          stds_c[0:4]) / scale_factor
         coords_3d = decode_bbox_3d_t(rois_t, d3, src3d_t, means_c, stds_c)
@@ -127,7 +126,7 @@ def make_batch_detector(conf, rois: np.ndarray, model=None):
     def detect(params, batch_stats, images, scale_factors):
         out = apply_fn({"params": params, "batch_stats": batch_stats},
                        images, train=False)
-        return jax.vmap(_one)(out["prob"].astype(jnp.float32),
+        return jax.vmap(_one)(out["scores"], out["cls_pred"],
                               out["bbox_2d"].astype(jnp.float32),
                               out["bbox_3d"].astype(jnp.float32),
                               scale_factors.astype(jnp.float32))

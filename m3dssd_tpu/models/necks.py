@@ -246,10 +246,12 @@ class DLASeg(nn.Module):
     last_level: int = 5
     use_dcn: bool = True
     shift_clamp: Any = 1.0
+    stem_s2d: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.base, channels = make_dla(self.base_name, dtype=self.dtype)
+        self.base, channels = make_dla(self.base_name, dtype=self.dtype,
+                                       s2d=self.stem_s2d)
         self.channels = channels
         self.first_level = int(np.log2(self.down_ratio))
         self.out_channels = channels[self.first_level]

@@ -89,6 +89,61 @@ def bilinear_sample(x, py, px):
     return out.reshape((B,) + sshape + (C,))
 
 
+def bilinear_sample_packed(x, py, px):
+    """`bilinear_sample` computed with ONE row gather instead of four.
+
+    The 2x2 corner neighborhood of every source position is pre-packed into
+    the channel axis (a zero-padded copy + 4 static shifts — pure streaming
+    writes), so each sample point needs a single `take_along_axis` row of
+    4*C channels instead of 4 rows of C. On TPU the gather is DMA-granularity
+    bound (PERF.md): 4x wider rows move the same bytes in 1/4 the transfers.
+
+    Numerically identical to `bilinear_sample` (same per-corner out-of-bounds
+    handling: invalid corners get zero weight, and the padded border makes
+    the clamped fetches read zeros anyway).
+
+    MEASURED SLOWER than plain `bilinear_sample` at align-module shapes
+    (512x1760 flagship): the wide-row gather runs ~30% slower per byte and
+    the packing concatenate costs another ~1.7 ms/img in layout copies.
+    Kept (and parity-tested) as a documented probe for future XLA versions.
+    """
+    B, H, W, C = x.shape
+    sshape = py.shape[1:]
+    n = 1
+    for s in sshape:
+        n *= s
+    coord_t = jnp.promote_types(py.dtype, jnp.float32)
+    py = py.reshape(B, n).astype(coord_t)
+    px = px.reshape(B, n).astype(coord_t)
+
+    # packed[y', x'] = the 2x2 patch at padded coords (y', x'), y' = y + 1
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    Hp, Wp = H + 1, W + 1
+    packed = jnp.concatenate([
+        jax.lax.slice(xp, (0, dy, dx, 0), (B, dy + Hp, dx + Wp, C))
+        for dy in (0, 1) for dx in (0, 1)], axis=-1)
+    packed = packed.reshape(B, Hp * Wp, 4 * C)
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    ly = py - y0
+    lx = px - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    idx = (jnp.clip(y0i + 1, 0, H) * Wp + jnp.clip(x0i + 1, 0, W))
+    rows = jnp.take_along_axis(packed, idx[..., None], axis=1)  # [B,n,4C]
+    rows = rows.reshape(B, n, 4, C)
+
+    wy = [1.0 - ly, ly]
+    wx = [1.0 - lx, lx]
+    vy = [(y0i >= 0) & (y0i <= H - 1), (y0i + 1 >= 0) & (y0i + 1 <= H - 1)]
+    vx = [(x0i >= 0) & (x0i <= W - 1), (x0i + 1 >= 0) & (x0i + 1 <= W - 1)]
+    w = jnp.stack([wy[cy] * wx[cx] * (vy[cy] & vx[cx])
+                   for cy in (0, 1) for cx in (0, 1)], axis=-1)   # [B,n,4]
+    out = jnp.sum(rows * w[..., None].astype(x.dtype), axis=2)
+    return out.reshape((B,) + sshape + (C,))
+
+
 def bilinear_sample_paired(x, py, px):
     """`bilinear_sample` with half the gather ops: the two x-adjacent corners
     of each sample point are fetched as ONE contiguous 2-column block
@@ -180,9 +235,10 @@ def dcn_v2(x, offset, mask, weight, bias=None, *, stride: int = 1,
     px = xs[None, None, :, None] + tap_x[None, None, None, :] + off[..., 1]
     # shapes [B, Ho, Wo, KK]
 
-    # NOTE: a paired-corner variant (bilinear_sample_paired, 2 block gathers
-    # instead of 4 row gathers) measured 3x SLOWER on TPU — XLA lowers
-    # multi-row slice gathers poorly. Plain row gathers are the fast path.
+    # Gather strategy (all measured, PERF.md): 4 plain row gathers win.
+    # Corner-packed single gather (2KB rows): gather 30% slower per byte
+    # + 1.7 ms/img packing cost. Paired-corner lax.gather slice blocks:
+    # 3x slower (XLA lowers multi-row slice gathers poorly).
     sampled = bilinear_sample(x, py, px)              # [B, Ho, Wo, KK, Cin]
     sampled = sampled * mask[..., None].astype(x.dtype)
 
@@ -226,8 +282,19 @@ def dcn_v2_shift(x, offset, mask, weight, bias=None, *, clamp: float = 1.0):
     P = pad + R + 1
     off = jnp.clip(offset.astype(jnp.float32), -clamp, clamp)
     xp = jnp.pad(x, [(0, 0), (P, P), (P, P), (0, 0)])
-    D = list(range(-R, R + 2))
-    cols = []
+    # triangle basis on knots [-R..R] exactly reproduces linear interpolation
+    # for |off| <= clamp <= R: knot R+1 would get weight
+    # max(0, 1-|off-(R+1)|), nonzero only if off > R >= clamp — impossible.
+    # (2R+1)^2 shifted slices per tap, not (2R+2)^2 — the slices are the
+    # VPU-bound cost of this decomposition.
+    D = list(range(-R, R + 1))
+    acc_t = jnp.promote_types(x.dtype, jnp.float32)
+    w2 = weight.reshape(KK, C, Cout)
+    # per-tap matmul accumulation: materializing the [B, H*W, KK*C] im2col
+    # tensor (jnp.stack) measured ~2.6 ms/img of dynamic-update-slice +
+    # layout copies at 512x1760; KK smaller matmuls fuse the shifted-MAC
+    # input directly into the MXU feed and never touch HBM with the columns
+    out = jnp.zeros((B, H * W, Cout), acc_t)
     for k in range(KK):
         ky, kx = k // Kw, k % Kw
         oy = off[..., k, 0]
@@ -242,12 +309,9 @@ def dcn_v2_shift(x, offset, mask, weight, bias=None, *, clamp: float = 1.0):
                 w = (wy[iy] * wx[ix]).astype(x.dtype)
                 acc = acc + w[..., None] * jax.lax.slice(
                     xp, (0, ys, xs, 0), (B, ys + H, xs + W, C))
-        cols.append(acc * mask[..., k, None].astype(x.dtype))
-    cols = jnp.stack(cols, axis=3).reshape(B, H * W, KK * C)
-    acc_t = jnp.promote_types(x.dtype, jnp.float32)
-    out = jax.lax.dot_general(cols, weight.reshape(KK * C, Cout),
-                              (((2,), (0,)), ((), ())),
-                              preferred_element_type=acc_t)
+        colk = (acc * mask[..., k, None].astype(x.dtype)).reshape(B, H * W, C)
+        out = out + jax.lax.dot_general(colk, w2[k], (((2,), (0,)), ((), ())),
+                                        preferred_element_type=acc_t)
     out = out.reshape(B, H, W, Cout).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(x.dtype)

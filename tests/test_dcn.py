@@ -160,6 +160,30 @@ def test_bilinear_sample_paired_matches_plain():
     np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def test_bilinear_sample_packed_matches_plain():
+    from m3dssd_tpu.ops.dcn import bilinear_sample_packed
+    rng = np.random.default_rng(10)
+    x = jnp.array(rng.normal(size=(2, 7, 9, 5)).astype(np.float32))
+    # sample points covering interior, boundaries, and out-of-bounds
+    py = jnp.array(rng.uniform(-2, 9, size=(2, 40)).astype(np.float32))
+    px = jnp.array(rng.uniform(-2, 11, size=(2, 40)).astype(np.float32))
+    a = np.asarray(bilinear_sample(x, py, px))
+    b = np.asarray(bilinear_sample_packed(x, py, px))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    # exact integer coords (incl. the H-1/W-1 edge where x0+1 is OOB)
+    pyi = jnp.array([[0.0, 6.0, 3.0, -1.0]])
+    pxi = jnp.array([[0.0, 8.0, 4.0, 11.0]])
+    a = np.asarray(bilinear_sample(x[:1], pyi, pxi))
+    b = np.asarray(bilinear_sample_packed(x[:1], pyi, pxi))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    # gradients agree too (the packed path must backprop identically)
+    def f(fn):
+        return lambda v: jnp.sum(fn(v, py, px) ** 2)
+    ga = np.asarray(jax.grad(f(bilinear_sample))(x))
+    gb = np.asarray(jax.grad(f(bilinear_sample_packed))(x))
+    np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-5)
+
+
 def test_dcn_shift_matches_gather_for_clamped_offsets():
     from m3dssd_tpu.ops.dcn import dcn_v2_shift
     rng = np.random.default_rng(11)

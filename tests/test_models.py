@@ -202,3 +202,56 @@ def test_rpn_train_mode_updates_batch_stats(tiny_conf):
     leaves1 = jax.tree_util.tree_leaves(mutated["batch_stats"])
     moved = any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
     assert moved
+
+
+def test_s2d_stem_matches_canonical():
+    """The space-to-depth stem is an exact relabeling of the canonical stem:
+    same param tree, same outputs (all 6 levels), train and eval modes."""
+    rng = np.random.default_rng(7)
+    x = jnp.array(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+    dla_a, _ = make_dla("dla34", s2d=False)
+    dla_b, _ = make_dla("dla34", s2d=True)
+    v = dla_a.init(jax.random.PRNGKey(0), x, train=False)
+    # identical parameter structure (torch import / checkpoints unaffected)
+    vb = dla_b.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(vb)
+    outs_a = dla_a.apply(v, x, train=False)
+    outs_b = dla_b.apply(v, x, train=False)
+    assert len(outs_a) == len(outs_b) == 6
+    for i, (a, b) in enumerate(zip(outs_a, outs_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"level {i}")
+    # train mode: batch stats updates must match (phase-pooled statistics)
+    # train mode normalizes by batch statistics (divides by tiny stds),
+    # which amplifies accumulation-order noise -> looser tolerance
+    outs_a, mut_a = dla_a.apply(v, x, train=True, mutable=["batch_stats"])
+    outs_b, mut_b = dla_b.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(outs_a[-1]), np.asarray(outs_b[-1]),
+                               rtol=1e-2, atol=1e-3)
+    fa = jax.tree.leaves(mut_a)
+    fb = jax.tree.leaves(mut_b)
+    for la, lb in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-2, atol=1e-3)
+
+
+def test_model_scores_match_prob_reduce():
+    """The model's in-layout det scores/classes equal the naive reduce over
+    the flattened softmax output."""
+    from m3dssd_tpu.config import kitti_3d_base
+    from m3dssd_tpu.utils.synthetic_conf import finalize_conf_synthetic
+    conf = finalize_conf_synthetic(kitti_3d_base().replace(
+        crop_size=[64, 96], test_scale=[64, 96], num_anchor_scales=3,
+        back_bone="dla34", pre_train=False, compute_dtype="float32"))
+    model = build(conf)
+    rng = np.random.default_rng(3)
+    x = jnp.array(rng.normal(size=(1, 64, 96, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(1), x, train=False)
+    out = model.apply(v, x, train=False)
+    prob = np.asarray(out["prob"][0])
+    want_scores = prob[:, 1:].max(axis=1)
+    want_cls = prob[:, 1:].argmax(axis=1) + 1
+    np.testing.assert_allclose(np.asarray(out["scores"][0]), want_scores,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out["cls_pred"][0]), want_cls)
