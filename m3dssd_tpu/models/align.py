@@ -37,6 +37,15 @@ def _topk_anchor_gather(prob, fields, k: int, thresh: float):
     prob [B,H,W,A]; fields [B,H,W,A,F] -> (combined [B,H,W,F], mask [B,H,W,1]).
     """
     prob = jax.lax.stop_gradient(prob)
+    if k == 1:
+        # lax.top_k(k=1) lowers through full sort machinery (~1.3 ms/img at
+        # 512x1760 bs=8); max/argmax is the same selection
+        mask = jnp.max(prob, axis=-1, keepdims=True)   # [B,H,W,1]
+        ind = jnp.argmax(prob, axis=-1, keepdims=True)  # [B,H,W,1]
+        hard = (mask > thresh).astype(prob.dtype)
+        sel = jnp.take_along_axis(fields, ind[..., None], axis=3)
+        combined = sel[:, :, :, 0] * hard              # softmax over 1 == 1
+        return combined, mask
     pk, ind = jax.lax.top_k(prob, k)                   # [B,H,W,k]
     w = nn.softmax(pk, axis=-1)
     mask = jnp.max(pk, axis=-1, keepdims=True)         # [B,H,W,1]
@@ -82,10 +91,23 @@ class ShapeAlign(nn.Module):
     def __call__(self, x, prob):
         B, H, W, C = x.shape
         K = self.kernel
-        fields = jnp.broadcast_to(
-            self.anchor_offsets.reshape(1, 1, 1, -1, K * K * 2),
-            (B, H, W, self.anchor_offsets.shape[0], K * K * 2)).astype(x.dtype)
-        offset, mask = _topk_anchor_gather(prob, fields, self.k, self.thresh)
+        if self.k == 1:
+            # the offset field is a CONSTANT per-anchor table: select rows
+            # of the [A, K*K*2] table by the argmax anchor instead of
+            # broadcasting the table to [B,H,W,A,K*K*2] and gathering
+            prob = jax.lax.stop_gradient(prob)
+            mask = jnp.max(prob, axis=-1, keepdims=True)
+            ind = jnp.argmax(prob, axis=-1)                # [B,H,W]
+            hard = (mask > self.thresh).astype(x.dtype)
+            table = self.anchor_offsets.reshape(-1, K * K * 2).astype(x.dtype)
+            offset = table[ind] * hard                     # [B,H,W,KK*2]
+        else:
+            fields = jnp.broadcast_to(
+                self.anchor_offsets.reshape(1, 1, 1, -1, K * K * 2),
+                (B, H, W, self.anchor_offsets.shape[0],
+                 K * K * 2)).astype(x.dtype)
+            offset, mask = _topk_anchor_gather(prob, fields, self.k,
+                                               self.thresh)
         offset = offset.reshape(B, H, W, K * K, 2)
         dcn_mask = jnp.broadcast_to(mask, (B, H, W, K * K)).astype(x.dtype)
         aligned = dcn_v2(x, offset, dcn_mask, self.weight.astype(x.dtype),
