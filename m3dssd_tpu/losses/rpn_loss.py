@@ -76,6 +76,53 @@ def _rank_select(score, pool_mask, budget, key):
     return pool_mask & (rank < budget)
 
 
+def _rank_select_pools(score, pools, budgets):
+    """`_rank_select` for several pools sharing one score: ONE stable sort.
+
+    A stable ascending sort restricted to a pool's members preserves their
+    relative order, so per-pool ranks are cumsums of pool membership in the
+    globally sorted order — identical masks to per-pool `_rank_select`, at
+    one `lax.sort` instead of two argsorts per pool (each ~6.6 ms at
+    [4, 506880]). Scatter back through flat indices (the batched scatter
+    form is slow — see ops/dcn.py:bilinear_sample).
+
+    score [B,N]; pools: list of [B,N] bool; budgets: list of [B] int.
+    """
+    B, N = score.shape
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    ops = [score] + [p.astype(jnp.int32) for p in pools] + [iota]
+    sorted_ops = jax.lax.sort(ops, dimension=1, is_stable=True, num_keys=1)
+    s_sorted, sidx = sorted_ops[0], sorted_ops[-1]
+    keeps = []
+    for pool, p_sorted, budget in zip(pools, sorted_ops[1:-1], budgets):
+        # last selected member = the pool member with in-pool rank b-1
+        # (b = min(budget, pool size)); select everything lexicographically
+        # <= its (score, index) sort key — no scatter back to original order
+        # (a [B*N] bool scatter measured ~11 ms at [4, 506880])
+        rank = jnp.cumsum(p_sorted, axis=1) - 1
+        b_eff = jnp.minimum(budget, rank[:, -1] + 1)          # [B]
+        at_last = (p_sorted > 0) & (rank == b_eff[:, None] - 1)
+        j = jnp.argmax(at_last, axis=1)                       # [B]
+        s_t = jnp.take_along_axis(s_sorted, j[:, None], axis=1)
+        i_t = jnp.take_along_axis(sidx, j[:, None], axis=1)
+        keep = pool & ((score < s_t) |
+                       ((score == s_t) & (iota <= i_t)))
+        keeps.append(keep & (b_eff > 0)[:, None])
+    return keeps
+
+
+def _take_class(v, lbl):
+    """v[..., lbl] per element: one-hot contraction over the tiny class dim.
+
+    `take_along_axis` on [B,N,C] with [B,N] indices lowers to a batched
+    gather (~31 ms at [4, 506880, 4] — and its backward is a scatter);
+    the one-hot multiply-sum fuses into one streaming pass.
+    """
+    C = v.shape[-1]
+    oh = jax.nn.one_hot(lbl, C, dtype=v.dtype)
+    return jnp.sum(v * oh, axis=-1)
+
+
 def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
                 rois: jnp.ndarray, anchors: jnp.ndarray,
                 bbox_means: jnp.ndarray, bbox_stds: jnp.ndarray,
@@ -123,7 +170,7 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
 
     # score of the *labeled* class (bg anchors have label 0)
     lbl_for_score = jnp.where(labels == IGN_FLAG, 0, labels)
-    score = jnp.take_along_axis(prob, lbl_for_score[..., None], axis=2)[..., 0]
+    score = _take_class(prob, lbl_for_score)
 
     if cfg.hard_negatives:
         sel_score = score
@@ -131,10 +178,8 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
         assert rng is not None, "random sampling requires an rng"
         sel_score = jax.random.uniform(rng, score.shape)
 
-    sel_fg = jax.vmap(_rank_select, in_axes=(0, 0, 0, None))(
-        sel_score, is_fg, fg_num, None)
-    sel_bg = jax.vmap(_rank_select, in_axes=(0, 0, 0, None))(
-        sel_score, is_bg, bg_num, None)
+    sel_fg, sel_bg = _rank_select_pools(sel_score, [is_fg, is_bg],
+                                        [fg_num, bg_num])
     sel_fg = sel_fg & participates[:, None]
     sel_bg = sel_bg & participates[:, None]
 
@@ -156,7 +201,7 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
     # ------------------------------------------------------------- cls loss
     if cfg.cls_2d_lambda:
         logp = jax.nn.log_softmax(cls, axis=-1)
-        ce = -jnp.take_along_axis(logp, lbl_for_score[..., None], axis=2)[..., 0]
+        ce = -_take_class(logp, lbl_for_score)
         ce = jnp.clip(ce * labels_weight, 0.0, 2000.0)
         loss_cls = masked_mean(ce, active) * cfg.cls_2d_lambda
         loss = loss + loss_cls

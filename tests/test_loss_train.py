@@ -283,3 +283,37 @@ def test_extras_bin_reg_loss_zero_at_gt():
     res = jnp.zeros((10, 8)).at[jnp.arange(10), b].set(r)
     loss = float(bin_based_reg_loss(logits, res, gt, 2.0, 8))
     assert loss < 1e-3
+
+
+def test_rank_select_pools_matches_per_pool():
+    """The shared-sort pool selection equals vmapped _rank_select exactly,
+    including ties (stable order) and zero budgets."""
+    import jax
+    from m3dssd_tpu.losses.rpn_loss import _rank_select, _rank_select_pools
+    rng = np.random.default_rng(5)
+    B, N = 3, 200
+    # quantized scores force plenty of ties
+    score = jnp.array((rng.integers(0, 20, size=(B, N)) / 20.0)
+                      .astype(np.float32))
+    fg = jnp.array(rng.random((B, N)) < 0.1)
+    bg = jnp.array((rng.random((B, N)) < 0.6) & ~np.asarray(fg))
+    fgb = jnp.array([3, 0, 50], jnp.int32)
+    bgb = jnp.array([40, 17, 0], jnp.int32)
+    want_fg = jax.vmap(_rank_select, in_axes=(0, 0, 0, None))(
+        score, fg, fgb, None)
+    want_bg = jax.vmap(_rank_select, in_axes=(0, 0, 0, None))(
+        score, bg, bgb, None)
+    got_fg, got_bg = _rank_select_pools(score, [fg, bg], [fgb, bgb])
+    np.testing.assert_array_equal(np.asarray(got_fg), np.asarray(want_fg))
+    np.testing.assert_array_equal(np.asarray(got_bg), np.asarray(want_bg))
+
+
+def test_take_class_matches_gather():
+    from m3dssd_tpu.losses.rpn_loss import _take_class
+    rng = np.random.default_rng(6)
+    v = jnp.array(rng.normal(size=(2, 50, 4)).astype(np.float32))
+    lbl = jnp.array(rng.integers(0, 4, size=(2, 50)).astype(np.int32))
+    want = np.take_along_axis(np.asarray(v), np.asarray(lbl)[..., None],
+                              axis=2)[..., 0]
+    np.testing.assert_allclose(np.asarray(_take_class(v, lbl)), want,
+                               rtol=1e-6)
