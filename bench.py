@@ -69,18 +69,22 @@ def main():
                            train=False)
     params, bs = variables["params"], variables.get("batch_stats", {})
 
+    from m3dssd_tpu.models.dla import space_to_depth_np
+
+    # host-side space-to-depth input (free exact relayout; the production
+    # eval path — trainer/test driver — feeds packed images the same way)
     # ---------------------------------------------------------- bs=1 latency
-    detect1 = make_detector(conf, rois, model)
-    x1 = jnp.asarray(gen.normal(
-        size=(1, SHAPE[0], SHAPE[1], 3)).astype(np.float32))
+    detect1 = make_detector(conf, rois, model, packed_input=True)
+    x1 = jnp.asarray(space_to_depth_np(gen.normal(
+        size=(1, SHAPE[0], SHAPE[1], 3)).astype(np.float32)))
     sf = np.float32(1.0)
     lat = _time_loop(lambda: detect1(params, bs, x1, sf), 30)
     ips1 = 1.0 / lat
 
     # ------------------------------------------------------ batch throughput
-    detectB = make_batch_detector(conf, rois, model)
-    xB = jnp.asarray(gen.normal(
-        size=(BATCH, SHAPE[0], SHAPE[1], 3)).astype(np.float32))
+    detectB = make_batch_detector(conf, rois, model, packed_input=True)
+    xB = jnp.asarray(space_to_depth_np(gen.normal(
+        size=(BATCH, SHAPE[0], SHAPE[1], 3)).astype(np.float32)))
     sfB = jnp.ones((BATCH,), jnp.float32)
     iters = max(30 // BATCH, 8)
     step = _time_loop(lambda: detectB(params, bs, xB, sfB), iters)

@@ -74,7 +74,8 @@ class TrainLoader:
 
     def __init__(self, dataset, batch_size: int, num_workers: int = 8,
                  seed: int = 0, prefetch: int = 4,
-                 weights: Optional[np.ndarray] = None):
+                 weights: Optional[np.ndarray] = None,
+                 pack_s2d: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
@@ -82,6 +83,9 @@ class TrainLoader:
             dataset.conf, dataset.imdb)
         self.num_workers = num_workers
         self.prefetch = prefetch
+        # pack_s2d: space-to-depth pack images host-side (free exact
+        # relayout; saves the device-side pack copy — models/dla.py)
+        self.pack_s2d = pack_s2d
         self.steps_per_epoch = max(1, len(dataset) // batch_size)
 
     def _sample_indices(self) -> np.ndarray:
@@ -100,7 +104,11 @@ class TrainLoader:
                         return
                     idx = self._sample_indices()
                     samples = list(pool.map(self.dataset.__getitem__, idx))
-                    q.put(collate(samples))
+                    batch = collate(samples)
+                    if self.pack_s2d:
+                        from ..models.dla import space_to_depth_np
+                        batch["images"] = space_to_depth_np(batch["images"])
+                    q.put(batch)
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -23,12 +23,22 @@ DET_COLS = ["x1", "y1", "x2", "y2", "score", "cls",
             "x3d", "y3d", "z3d", "w3d", "h3d", "l3d", "ry3d", "tracker"]
 
 
+def packed_input_eligible(conf) -> bool:
+    """True when eval images can be fed space-to-depth packed host-side
+    (stem_s2d enabled and even eval dimensions)."""
+    h, w = conf.test_scale
+    return bool(getattr(conf, "stem_s2d", False) and h % 2 == 0
+                and w % 2 == 0)
+
+
 def make_detector(conf, rois: np.ndarray, model=None,
-                  use_topk_pre: bool = False):
+                  use_topk_pre: bool = False, packed_input: bool = False):
     """Build `detect(params, batch_stats, image, scale_factor) -> dets`.
 
     dets is a [nms_topN_post, 14] float32 array (DET_COLS); rows with
-    score <= 0 are padding. `image` is [1, H, W, 3] preprocessed.
+    score <= 0 are padding. `image` is [1, H, W, 3] preprocessed — or, with
+    `packed_input`, its host-side space-to-depth relayout [1, H/2, W/2, 12]
+    (models/dla.py:space_to_depth_np; saves the on-device pack copy).
 
     `use_topk_pre=False` (default) decodes ALL anchors and runs the
     select-style NMS directly — no pre-NMS top-k cutoff. The reference's
@@ -53,7 +63,7 @@ def make_detector(conf, rois: np.ndarray, model=None,
     @jax.jit
     def detect(params, batch_stats, image, scale_factor):
         out = apply_fn({"params": params, "batch_stats": batch_stats},
-                       image, train=False)
+                       image, train=False, packed=packed_input)
         d2 = out["bbox_2d"][0].astype(jnp.float32)         # [4, N]
         d3 = out["bbox_3d"][0].astype(jnp.float32)         # [7, N]
 
@@ -93,12 +103,14 @@ def make_detector(conf, rois: np.ndarray, model=None,
     return detect
 
 
-def make_batch_detector(conf, rois: np.ndarray, model=None):
+def make_batch_detector(conf, rois: np.ndarray, model=None,
+                        packed_input: bool = False):
     """Batched variant: `detect(params, batch_stats, images [B,H,W,3],
     scale_factors [B]) -> dets [B, top_post, 14]`.
 
     The reference tests at batch 1 (ref:lib/dataloader.py:906); batching the
     eval forward is AP-neutral throughput (decode + NMS vmap across images).
+    `packed_input`: images arrive space-to-depth packed [B, H/2, W/2, 12].
     """
     rois_t = jnp.asarray(rois[:, :5].T, jnp.float32)
     means_c = jnp.asarray(conf.bbox_means, jnp.float32).reshape(-1)
@@ -125,7 +137,7 @@ def make_batch_detector(conf, rois: np.ndarray, model=None):
     @jax.jit
     def detect(params, batch_stats, images, scale_factors):
         out = apply_fn({"params": params, "batch_stats": batch_stats},
-                       images, train=False)
+                       images, train=False, packed=packed_input)
         return jax.vmap(_one)(out["scores"], out["cls_pred"],
                               out["bbox_2d"].astype(jnp.float32),
                               out["bbox_3d"].astype(jnp.float32),

@@ -77,7 +77,7 @@ def postprocess_dets(conf, dets: np.ndarray, p2: np.ndarray,
 
 
 def _run_batched(dataset, detect_fn, params, batch_stats, conf,
-                 results_path: str, batch_size: int,
+                 results_path: str, batch_size: int, pack=lambda im: im,
                  prefetch_workers: int = 4):
     """Batched eval loop: threaded sample prefetch + double-buffered device
     dispatch (post-process batch k while batch k+1 computes)."""
@@ -107,7 +107,7 @@ def _run_batched(dataset, detect_fn, params, batch_stats, conf,
                 while len(ims) < B:            # pad the tail batch
                     ims.append(ims[-1])
                     sfs.append(sfs[-1])
-                out = detect_fn(params, batch_stats, np.stack(ims),
+                out = detect_fn(params, batch_stats, pack(np.stack(ims)),
                                 np.asarray(sfs, np.float32))
                 if pending is not None:
                     _flush(pending)
@@ -119,7 +119,8 @@ def _run_batched(dataset, detect_fn, params, batch_stats, conf,
 
 def test_kitti_3d(dataset, detect_fn, params, batch_stats, conf,
                   results_path: str, gt_path: Optional[str] = None,
-                  evaluate: bool = True, batch_size: int = 1):
+                  evaluate: bool = True, batch_size: int = 1,
+                  packed_input: bool = False):
     """Run detection over `dataset` (eval phase), write KITTI txts, and
     compute AP metrics against `gt_path` labels.
 
@@ -137,11 +138,18 @@ def test_kitti_3d(dataset, detect_fn, params, batch_stats, conf,
     os.makedirs(results_path, exist_ok=True)
     t0 = time.time()
     n = len(dataset)
+    # packed_input: the detector was built with packed_input=True — feed
+    # host-side space-to-depth packed images (free exact relayout)
+    if packed_input:
+        from ..models.dla import space_to_depth_np
+        pack = space_to_depth_np
+    else:
+        pack = lambda im: im
 
     if batch_size <= 1:
         for i in range(n):
             sample = dataset[i]
-            im = sample["input"][None]
+            im = pack(sample["input"][None])
             meta = sample["meta"]
             dets = np.asarray(detect_fn(params, batch_stats, im,
                                         np.float32(meta["scale_factor"])))
@@ -151,7 +159,7 @@ def test_kitti_3d(dataset, detect_fn, params, batch_stats, conf,
                 os.path.join(results_path, meta["id"] + ".txt"), rows)
     else:
         _run_batched(dataset, detect_fn, params, batch_stats, conf,
-                     results_path, batch_size)
+                     results_path, batch_size, pack)
     dt = time.time() - t0
     logging.info("test_kitti_3d: %d images in %.1fs (%.2f im/s)", n, dt,
                  n / max(dt, 1e-9))

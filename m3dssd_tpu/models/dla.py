@@ -181,6 +181,20 @@ class Tree(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def space_to_depth_np(x):
+    """Host-side `space_to_depth` (numpy): pack input images BEFORE upload.
+
+    The device-side pack costs ~1 ms/img at 512x1760 (the layout copy XLA
+    inserts between the raw-image layout and the stem conv's operand
+    layout); packing in the input pipeline makes it free. Exact relayout —
+    same values, same downstream math."""
+    import numpy as np_
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return np_.ascontiguousarray(
+        x.transpose(0, 1, 3, 2, 4, 5)).reshape(B, H // 2, W // 2, 4 * C)
+
+
 def space_to_depth(x):
     """[B, H, W, C] -> [B, H/2, W/2, 4C] with phase-major channel packing.
 
@@ -349,15 +363,22 @@ class DLA(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, packed: bool = False):
+        """packed=True: `x` is already space-to-depth packed host-side
+        ([B, H/2, W/2, 4*Cin], see `space_to_depth_np`); requires s2d."""
         ch = self.channels
-        B, H, W, _ = x.shape
-        use_s2d = (self.s2d and H % 2 == 0 and W % 2 == 0
-                   and self.levels[0] == 1 and self.levels[1] == 1)
+        if packed:
+            B, H2, W2, C4 = x.shape
+            H, W, cin = 2 * H2, 2 * W2, C4 // 4
+            assert self.s2d and self.levels[0] == 1 and self.levels[1] == 1
+        else:
+            B, H, W, cin = x.shape
+        use_s2d = (packed or (self.s2d and H % 2 == 0 and W % 2 == 0
+                              and self.levels[0] == 1 and self.levels[1] == 1))
         outputs = []
         if use_s2d:
-            xp = space_to_depth(x)
-            xp = PhaseConv(ch[0], 7, x.shape[-1], dtype=self.dtype,
+            xp = x if packed else space_to_depth(x)
+            xp = PhaseConv(ch[0], 7, cin, dtype=self.dtype,
                            name="base_conv")(xp)
             H2, W2 = H // 2, W // 2
             xp = xp.reshape(B, H2, W2, 4, ch[0])

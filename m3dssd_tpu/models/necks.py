@@ -263,8 +263,8 @@ class DLASeg(nn.Module):
                             use_dcn=self.use_dcn,
                             shift_clamp=self.shift_clamp, dtype=self.dtype)
 
-    def __call__(self, x, train: bool = True):
-        levels = self.base(x, train)
+    def __call__(self, x, train: bool = True, packed: bool = False):
+        levels = self.base(x, train, packed=packed)
         agg = self.dla_up(levels[self.first_level:], train)
         n_final = self.last_level - self.first_level
         y = list(agg[:n_final])

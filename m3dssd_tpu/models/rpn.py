@@ -130,10 +130,14 @@ class M3DRPN(nn.Module):
             self.anab = ANAB(dtype=self.dtype)
             self.anab_bn = nn.BatchNorm(momentum=BN_MOMENTUM, dtype=self.dtype)
 
-    def __call__(self, x, train: bool = True) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x, train: bool = True, packed: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
+        """packed=True: input images are space-to-depth packed host-side
+        ([B, H/2, W/2, 12]; models/dla.py:space_to_depth_np) — a free exact
+        relayout of the [B, H, W, 3] contract."""
         B = x.shape[0]
         A = self.num_anchors
-        x = self.base(x, train)
+        x = self.base(x, train, packed=packed)
         H, W = x.shape[1], x.shape[2]
 
         cls = self.cls_tower(x, train).reshape(B, H, W, A, self.num_classes)

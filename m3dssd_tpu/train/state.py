@@ -106,12 +106,15 @@ def create_train_state(conf, model, rng, max_iter: int,
                       tx=tx, apply_fn=model.apply)
 
 
-def make_train_step(conf, rois: np.ndarray):
+def make_train_step(conf, rois: np.ndarray, packed_input: bool = False):
     """Build the jitted `train_step(state, batch, rng) -> (state, stats)`.
 
     `rois`/anchors/whitening stats are closed-over constants (the reference
     keeps them as module buffers with device-migration hacks —
     ref:model/M3d_inference_align.py:62-64; under SPMD they are just arrays).
+
+    packed_input: batch images arrive space-to-depth packed
+    ([B, H/2, W/2, 4C], host-side relayout — data/loader.py pack_s2d).
     """
     loss_cfg = RPNLossConfig.from_conf(conf)
     rois_c = jnp.asarray(rois[:, :5], jnp.float32)
@@ -125,7 +128,8 @@ def make_train_step(conf, rois: np.ndarray):
         def loss_fn(params):
             outputs, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["images"], train=True, mutable=["batch_stats"])
+                batch["images"], train=True, packed=packed_input,
+                mutable=["batch_stats"])
             loss, stats = rpn_3d_loss(outputs, batch, rois_c, anchors_c,
                                       means_c, stds_c, loss_cfg, rng)
             return loss, (stats, mutated["batch_stats"])

@@ -58,9 +58,14 @@ class Trainer:
 
         self.dataset = Kitti3DDataset(conf, data_root, phase="train",
                                       cache_folder=cache_folder)
+        # host-side space-to-depth input packing (exact relayout; saves the
+        # device-side pack copy — models/dla.py:space_to_depth_np)
+        self.packed_input = bool(conf.stem_s2d and conf.crop_size[0] % 2 == 0
+                                 and conf.crop_size[1] % 2 == 0)
         self.loader = TrainLoader(self.dataset, conf.batch_size,
                                   num_workers=conf.num_workers,
-                                  seed=conf.rng_seed)
+                                  seed=conf.rng_seed,
+                                  pack_s2d=self.packed_input)
         self.steps_per_epoch = self.loader.steps_per_epoch
         self.max_iter = conf.max_epoch * self.steps_per_epoch
 
@@ -70,7 +75,8 @@ class Trainer:
         self.model = build(conf, "train")
         rng = jax.random.PRNGKey(conf.rng_seed)
         self.state = create_train_state(conf, self.model, rng, self.max_iter)
-        self.train_step = make_train_step(conf, self.dataset.rois)
+        self.train_step = make_train_step(conf, self.dataset.rois,
+                                          packed_input=self.packed_input)
         self.rng = rng
 
         if conf.pretrained:
@@ -121,14 +127,17 @@ class Trainer:
         # eval epochs — a fresh closure per epoch would be a new jit cache
         # entry and a recompile (or at best a disk-cache hit)
         eval_bs = max(int(getattr(conf, "eval_batch_size", 1)), 1)
+        from ..inference.detect import packed_input_eligible
+        packed = packed_input_eligible(conf)
         if self._eval_detect is None:
             if eval_bs > 1:
                 from ..inference.detect import make_batch_detector
                 self._eval_detect = make_batch_detector(
-                    conf, self.dataset.rois, self.model)
+                    conf, self.dataset.rois, self.model, packed_input=packed)
             else:
                 self._eval_detect = make_detector(conf, self.dataset.rois,
-                                                  self.model)
+                                                  self.model,
+                                                  packed_input=packed)
         results = os.path.join(self.output_dir, "results",
                                f"results_{epoch}", "data")
         gt_path = os.path.join(self.data_root,
@@ -137,7 +146,8 @@ class Trainer:
         res, sel = test_kitti_3d(self.val_dataset, self._eval_detect,
                                  self.state.params,
                                  self.state.batch_stats, conf, results,
-                                 gt_path=gt_path, batch_size=eval_bs)
+                                 gt_path=gt_path, batch_size=eval_bs,
+                                 packed_input=packed)
         if res:
             logging.info("eval epoch %d: Car 3D R40 = %s", epoch,
                          res.get("Car_3d_R40"))

@@ -58,11 +58,13 @@ def main():
     dataset = Kitti3DDataset(conf, args.data_root, phase=args.phase)
     rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
     eval_bs = max(int(getattr(conf, "eval_batch_size", 1)), 1)
+    from m3dssd_tpu.inference.detect import packed_input_eligible
+    packed = packed_input_eligible(conf)
     if eval_bs > 1:
         from m3dssd_tpu.inference.detect import make_batch_detector
-        detect = make_batch_detector(conf, rois, model)
+        detect = make_batch_detector(conf, rois, model, packed_input=packed)
     else:
-        detect = make_detector(conf, rois, model)
+        detect = make_detector(conf, rois, model, packed_input=packed)
     if args.torch_weights:
         tag = os.path.splitext(os.path.basename(args.torch_weights))[0]
         results = os.path.join(args.run_dir, "results",
@@ -77,7 +79,7 @@ def main():
     res, sel = test_kitti_3d(dataset, detect, state.params, state.batch_stats,
                              conf, results,
                              gt_path=gt_path if os.path.isdir(gt_path) else None,
-                             batch_size=eval_bs)
+                             batch_size=eval_bs, packed_input=packed)
     if res:
         print(res["_text"])
         print("selection metric (mean Car 3D R40):", sel)

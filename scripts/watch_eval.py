@@ -37,11 +37,13 @@ def main():
     dataset = Kitti3DDataset(conf, args.data_root, phase="validation")
     rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
     eval_bs = max(int(getattr(conf, "eval_batch_size", 1)), 1)
+    from m3dssd_tpu.inference.detect import packed_input_eligible
+    packed = packed_input_eligible(conf)
     if eval_bs > 1:
         from m3dssd_tpu.inference.detect import make_batch_detector
-        detect = make_batch_detector(conf, rois, model)
+        detect = make_batch_detector(conf, rois, model, packed_input=packed)
     else:
-        detect = make_detector(conf, rois, model)
+        detect = make_detector(conf, rois, model, packed_input=packed)
     gt_path = os.path.join(args.data_root,
                            conf.datasets_validation[0]["name"],
                            "validation", "label_2")
@@ -63,7 +65,8 @@ def main():
                 res, sel = test_kitti_3d(dataset, detect, st.params,
                                          st.batch_stats, conf, results,
                                          gt_path=gt_path,
-                                         batch_size=eval_bs)
+                                         batch_size=eval_bs,
+                                         packed_input=packed)
                 print(f"step {step}: mean Car 3D R40 = {sel:.4f}")
         polls += 1
         time.sleep(args.poll_sec)

@@ -255,3 +255,25 @@ def test_model_scores_match_prob_reduce():
     np.testing.assert_allclose(np.asarray(out["scores"][0]), want_scores,
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(out["cls_pred"][0]), want_cls)
+
+
+def test_packed_input_matches_raw():
+    """Feeding host-packed images (space_to_depth_np) with packed=True gives
+    identical outputs to the raw-image path."""
+    from m3dssd_tpu.config import kitti_3d_base
+    from m3dssd_tpu.models.dla import space_to_depth_np
+    from m3dssd_tpu.utils.synthetic_conf import finalize_conf_synthetic
+    conf = finalize_conf_synthetic(kitti_3d_base().replace(
+        crop_size=[64, 96], test_scale=[64, 96], num_anchor_scales=3,
+        back_bone="dla34", pre_train=False, compute_dtype="float32"))
+    model = build(conf)
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 64, 96, 3)).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(1), jnp.array(x), train=False)
+    out_raw = model.apply(v, jnp.array(x), train=False)
+    out_pk = model.apply(v, jnp.array(space_to_depth_np(x)), train=False,
+                         packed=True)
+    for k in ("prob", "scores", "bbox_2d", "bbox_3d"):
+        np.testing.assert_allclose(np.asarray(out_raw[k]),
+                                   np.asarray(out_pk[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
