@@ -29,6 +29,10 @@ class DCN(nn.Module):
     and the op runs as gather-free shifted MACs (`dcn_v2_shift` — measured
     1.7x faster and scatter-free in backward; see PERF.md). Set None for the
     unbounded gather path.
+
+    Eval-mode forwards on TPU additionally use the fused Pallas kernel
+    (`ops/dcn_pallas.py` — 1.3-1.5x over the XLA shift form); training
+    keeps the differentiable XLA op.
     """
     features: int
     kernel: int = 3
@@ -38,7 +42,7 @@ class DCN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         K = self.kernel
         KK = K * K
         om = nn.Conv(3 * KK, (K, K), strides=(self.stride, self.stride),
@@ -58,6 +62,12 @@ class DCN(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if self.shift_clamp is not None and self.stride == 1 \
                 and self.dilation == 1:
+            # NOTE: a fused Pallas kernel (ops/dcn_pallas.py) beats this XLA
+            # form 1.3-1.5x in ISOLATION at the neck shapes, but IN-MODEL
+            # the custom-call boundary breaks XLA's fusion/layout choices
+            # around it (backbone conv time tripled; end-to-end detect
+            # 13.9 -> 18.9 ms measured) — so the XLA form stays. The kernel
+            # is kept + parity-tested for future XLA/Mosaic versions.
             return dcn_v2_shift(x, offset, mask, weight.astype(x.dtype),
                                 bias.astype(x.dtype),
                                 clamp=float(self.shift_clamp))
@@ -76,7 +86,7 @@ class DeformConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = DCN(self.features, 3, shift_clamp=self.shift_clamp,
-                dtype=self.dtype)(x)
+                dtype=self.dtype)(x, train)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          dtype=self.dtype)(x)
         return leaky_relu(x)

@@ -217,3 +217,21 @@ def test_dcn_shift_gradients_flow():
 
     g = np.asarray(jax.grad(loss)(offset))
     assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+
+def test_dcn_shift_pallas_matches_xla():
+    """The fused Pallas kernel (interpret mode on CPU) equals dcn_v2_shift."""
+    from m3dssd_tpu.ops.dcn import dcn_v2_shift
+    from m3dssd_tpu.ops.dcn_pallas import dcn_v2_shift_pallas
+    rng = np.random.default_rng(13)
+    B, H, W, C, Co = 2, 6, 11, 8, 16    # W chosen so Wp is NOT 8-aligned
+    x = jnp.array(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    off = jnp.array((rng.normal(size=(B, H, W, 9, 2)) * 0.8)
+                    .astype(np.float32))
+    m = jnp.array(rng.random((B, H, W, 9)).astype(np.float32))
+    w = jnp.array((rng.normal(size=(3, 3, C, Co)) * 0.1).astype(np.float32))
+    b = jnp.array(rng.normal(size=(Co,)).astype(np.float32))
+    want = np.asarray(dcn_v2_shift(x, off, m, w, b, clamp=1.0))
+    got = np.asarray(dcn_v2_shift_pallas(x, off, m, w, b, clamp=1.0,
+                                         interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
