@@ -55,7 +55,9 @@ def main():
     if args.train:
         conf = conf.replace(batch_size=args.batch)
         state = create_train_state(conf, model, rng, max_iter=1000)
-        step = make_train_step(conf, rois)
+        # pack images host-side exactly like the trainer (loader pack_s2d)
+        packed = conf.stem_s2d and all(s % 2 == 0 for s in args.shape)
+        step = make_train_step(conf, rois, packed_input=packed)
         N = rois.shape[0]
         B = args.batch
         rs = np.random.default_rng(0)
@@ -72,6 +74,9 @@ def main():
         batch["labels"][:, :50] = 1
         batch["labels_fg"][:, :50] = 1
         batch["labels_bg"][:, :50] = 0
+        if packed:
+            from m3dssd_tpu.models.dla import space_to_depth_np
+            batch["images"] = space_to_depth_np(batch["images"])
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
         def run(state):
