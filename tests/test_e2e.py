@@ -172,3 +172,41 @@ def test_batch_detector_matches_single(synthetic_kitti, tiny_conf):
     for i in range(2):
         single = np.asarray(d1(p, bs, imgs[i:i + 1], np.float32(1.0)))
         np.testing.assert_allclose(batch_out[i], single, rtol=1e-4, atol=1e-3)
+
+
+def test_packed_driver_matches_raw(synthetic_kitti, tiny_conf, tmp_path):
+    """test_kitti_3d with host-packed input (packed_input=True) writes
+    byte-identical result txts to the raw-image path."""
+    import glob
+    import jax.numpy as jnp
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.inference.detect import (make_batch_detector,
+                                             make_detector,
+                                             packed_input_eligible)
+    from m3dssd_tpu.inference.test_driver import test_kitti_3d
+    from m3dssd_tpu.models import build
+
+    conf = tiny_conf.replace(anchors=None, score_thres=0.05)
+    assert packed_input_eligible(conf)
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
+    val = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
+    model = build(conf)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 128, 3), jnp.float32), train=False)
+    p, bs = v["params"], v.get("batch_stats", {})
+
+    res_raw = str(tmp_path / "raw")
+    res_pk = str(tmp_path / "pk")
+    test_kitti_3d(val, make_detector(conf, ds.rois, model), p, bs, conf,
+                  res_raw, evaluate=False)
+    test_kitti_3d(val, make_batch_detector(conf, ds.rois, model,
+                                           packed_input=True),
+                  p, bs, conf, res_pk, evaluate=False, batch_size=2,
+                  packed_input=True)
+
+    files1 = sorted(glob.glob(os.path.join(res_raw, "*.txt")))
+    files2 = sorted(glob.glob(os.path.join(res_pk, "*.txt")))
+    assert [os.path.basename(f) for f in files1] == \
+        [os.path.basename(f) for f in files2] and files1
+    for f1, f2 in zip(files1, files2):
+        assert open(f1).read() == open(f2).read(), os.path.basename(f1)
