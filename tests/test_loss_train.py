@@ -317,3 +317,41 @@ def test_take_class_matches_gather():
                               axis=2)[..., 0]
     np.testing.assert_allclose(np.asarray(_take_class(v, lbl)), want,
                                rtol=1e-6)
+
+
+def test_train_step_on_2d_data_spatial_mesh(tiny_train_setup):
+    """DP x SP: images shard their height across a 'spatial' mesh axis
+    (GSPMD conv halo exchange); the loss must match the DP-only value."""
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from m3dssd_tpu.train.state import create_train_state, make_train_step
+
+    conf, ds, loader = tiny_train_setup
+    conf = conf.replace(warmup=0.0)
+    model = build(conf)
+    state = create_train_state(conf, model, jax.random.PRNGKey(0),
+                               max_iter=100)
+    train_step = make_train_step(conf, ds.rois)
+
+    batch = next(iter(loader.batches(1)))
+    batch4 = {k: np.concatenate([np.asarray(v)] * 2, axis=0)
+              for k, v in batch.items()}
+
+    mesh_dp = make_mesh(4)
+    with mesh_dp:
+        s = shard_batch(mesh_dp, batch4)
+        st = replicate_state(mesh_dp, state)
+        _, stats_dp = train_step(st, s, jax.random.PRNGKey(1))
+    loss_dp = float(stats_dp["loss"])
+
+    mesh_2d = make_mesh(8, spatial=2)
+    assert dict(mesh_2d.shape) == {"data": 4, "spatial": 2}
+    with mesh_2d:
+        s = shard_batch(mesh_2d, batch4)
+        # images sharded over H, targets over N (h-major flat order)
+        assert "spatial" in str(s["images"].sharding.spec)
+        assert "spatial" in str(s["labels"].sharding.spec)
+        st = replicate_state(mesh_2d, state)
+        _, stats_2d = train_step(st, s, jax.random.PRNGKey(1))
+    loss_2d = float(stats_2d["loss"])
+    np.testing.assert_allclose(loss_2d, loss_dp, rtol=1e-4)
