@@ -78,13 +78,28 @@ def postprocess_dets(conf, dets: np.ndarray, p2: np.ndarray,
 
 def _run_batched(dataset, detect_fn, params, batch_stats, conf,
                  results_path: str, batch_size: int, pack=lambda im: im,
-                 prefetch_workers: int = 4):
-    """Batched eval loop: threaded sample prefetch + double-buffered device
-    dispatch (post-process batch k while batch k+1 computes)."""
+                 prefetch_workers: int = 8):
+    """Batched eval loop: threaded per-image load+pack prefetch +
+    double-buffered device dispatch (post-process batch k while batch k+1
+    computes).
+
+    The per-image host work — image decode/resize/normalize (~55 ms) and
+    the space-to-depth pack (~15-50 ms, cache-hostile transpose) — runs in
+    the worker pool; the main thread only concatenates, transfers
+    (explicit device_put: ~1.3 GB/s) and dispatches. At 512x1760 this
+    end-to-end loop measured 2.4 -> ~25 im/s vs the main-thread form.
+    """
     from concurrent.futures import ThreadPoolExecutor
+
+    import jax
 
     n = len(dataset)
     B = batch_size
+
+    def _load(i):
+        s = dataset[i]
+        return (pack(s["input"][None]),
+                np.float32(s["meta"]["scale_factor"]), s["meta"])
 
     def _flush(pending):
         out, metas = pending
@@ -96,18 +111,19 @@ def _run_batched(dataset, detect_fn, params, batch_stats, conf,
                 os.path.join(results_path, meta["id"] + ".txt"), rows)
 
     with ThreadPoolExecutor(max_workers=prefetch_workers) as pool:
-        samples = pool.map(dataset.__getitem__, range(n))
+        loaded = pool.map(_load, range(n))
         pending = None
         ims, sfs, metas = [], [], []
-        for k, sample in enumerate(samples):
-            ims.append(sample["input"])
-            sfs.append(sample["meta"]["scale_factor"])
-            metas.append(sample["meta"])
+        for k, (im, sf, meta) in enumerate(loaded):
+            ims.append(im)
+            sfs.append(sf)
+            metas.append(meta)
             if len(ims) == B or k == n - 1:
                 while len(ims) < B:            # pad the tail batch
                     ims.append(ims[-1])
                     sfs.append(sfs[-1])
-                out = detect_fn(params, batch_stats, pack(np.stack(ims)),
+                imb = jax.device_put(np.concatenate(ims, axis=0))
+                out = detect_fn(params, batch_stats, imb,
                                 np.asarray(sfs, np.float32))
                 if pending is not None:
                     _flush(pending)
@@ -139,12 +155,21 @@ def test_kitti_3d(dataset, detect_fn, params, batch_stats, conf,
     t0 = time.time()
     n = len(dataset)
     # packed_input: the detector was built with packed_input=True — feed
-    # host-side space-to-depth packed images (free exact relayout)
+    # host-side space-to-depth packed images (free exact relayout).
+    # bf16 models additionally upload images in bf16: the model casts its
+    # input to bf16 anyway, so casting host-side is compute-identical and
+    # halves the host->device bytes (the transfer is CPU-bound on
+    # single-core tunnel hosts).
     if packed_input:
         from ..models.dla import space_to_depth_np
-        pack = space_to_depth_np
+        base_pack = space_to_depth_np
     else:
-        pack = lambda im: im
+        base_pack = lambda im: im
+    if getattr(conf, "compute_dtype", "float32") == "bfloat16":
+        import ml_dtypes
+        pack = lambda im: base_pack(im).astype(ml_dtypes.bfloat16)
+    else:
+        pack = base_pack
 
     if batch_size <= 1:
         for i in range(n):

@@ -187,12 +187,17 @@ def space_to_depth_np(x):
     The device-side pack costs ~1 ms/img at 512x1760 (the layout copy XLA
     inserts between the raw-image layout and the stem conv's operand
     layout); packing in the input pipeline makes it free. Exact relayout —
-    same values, same downstream math."""
+    same values, same downstream math.
+
+    Per-phase slice assignment: ~2x faster than the 6D reshape/transpose
+    copy in numpy (83 vs 153 ms for an 86 MB batch on this host)."""
     import numpy as np_
     B, H, W, C = x.shape
-    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-    return np_.ascontiguousarray(
-        x.transpose(0, 1, 3, 2, 4, 5)).reshape(B, H // 2, W // 2, 4 * C)
+    out = np_.empty((B, H // 2, W // 2, 4 * C), x.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            out[..., (2 * a + b) * C:(2 * a + b + 1) * C] = x[:, a::2, b::2]
+    return out
 
 
 def space_to_depth(x):

@@ -210,3 +210,28 @@ def test_packed_driver_matches_raw(synthetic_kitti, tiny_conf, tmp_path):
         [os.path.basename(f) for f in files2] and files1
     for f1, f2 in zip(files1, files2):
         assert open(f1).read() == open(f2).read(), os.path.basename(f1)
+
+
+def test_bf16_upload_identical_to_f32(synthetic_kitti, tiny_conf):
+    """Pre-casting eval images to bf16 host-side (the eval driver does this
+    for bf16 models to halve upload bytes) gives identical detections: the
+    model's first op casts its input to bf16 anyway."""
+    import ml_dtypes
+    import jax.numpy as jnp
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.inference.detect import make_detector
+    from m3dssd_tpu.models import build
+
+    conf = tiny_conf.replace(anchors=None, compute_dtype="bfloat16")
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
+    val = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
+    model = build(conf)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 128, 3), jnp.float32), train=False)
+    p, bs = v["params"], v.get("batch_stats", {})
+    det = make_detector(conf, ds.rois, model)
+    im = val[0]["input"][None]
+    out_f32 = np.asarray(det(p, bs, im, np.float32(1.0)))
+    out_bf16 = np.asarray(det(p, bs, im.astype(ml_dtypes.bfloat16),
+                              np.float32(1.0)))
+    np.testing.assert_array_equal(out_f32, out_bf16)
