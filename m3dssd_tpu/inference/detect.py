@@ -23,6 +23,19 @@ DET_COLS = ["x1", "y1", "x2", "y2", "score", "cls",
             "x3d", "y3d", "z3d", "w3d", "h3d", "l3d", "ry3d", "tracker"]
 
 
+def _clip_dets_2d(box, scale_factor, test_scale):
+    """Clamp post-NMS 2D boxes [4, K] (x1,y1,x2,y2 at ORIGINAL resolution)
+    to the original image bounds (ref:lib/rpn_util.py:1556-1561 — the
+    reference clips AFTER NMS, so suppression itself sees unclipped IoUs).
+    Original dims derive from the network input size / scale_factor."""
+    im_h = test_scale[0] / scale_factor - 1.0
+    im_w = test_scale[1] / scale_factor - 1.0
+    return jnp.stack([jnp.clip(box[0], 0.0, im_w),
+                      jnp.clip(box[1], 0.0, im_h),
+                      jnp.clip(box[2], 0.0, im_w),
+                      jnp.clip(box[3], 0.0, im_h)])
+
+
 def packed_input_eligible(conf) -> bool:
     """True when eval images can be fed space-to-depth packed host-side
     (stem_s2d enabled and even eval dimensions)."""
@@ -53,6 +66,8 @@ def make_detector(conf, rois: np.ndarray, model=None,
     top_pre = int(min(conf.nms_topN_pre, rois.shape[0]))
     top_post = int(conf.nms_topN_post)
     nms_thres = float(conf.nms_thres)
+    clip_boxes = bool(getattr(conf, "clip_boxes", False))
+    test_scale = tuple(int(s) for s in conf.test_scale)
     apply_fn = model.apply
 
     # per-roi anchor 3D priors are constants: fold the gather now
@@ -91,8 +106,11 @@ def make_detector(conf, rois: np.ndarray, model=None,
         # `top_post` kept boxes of full greedy NMS)
         fi, valid = nms_select_t(coords_2d, top_scores, nms_thres, top_post)
         final_scores = jnp.where(valid, top_scores[fi], -1.0)
+        final_2d = coords_2d[:, fi]
+        if clip_boxes:
+            final_2d = _clip_dets_2d(final_2d, scale_factor, test_scale)
         dets = jnp.concatenate([
-            coords_2d[:, fi].T,
+            final_2d.T,
             final_scores[:, None],
             cls_k[fi][:, None],
             coords_3d[:, fi].T,
@@ -117,6 +135,8 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
     stds_c = jnp.asarray(conf.bbox_stds, jnp.float32).reshape(-1)
     top_post = int(conf.nms_topN_post)
     nms_thres = float(conf.nms_thres)
+    clip_boxes = bool(getattr(conf, "clip_boxes", False))
+    test_scale = tuple(int(s) for s in conf.test_scale)
     apply_fn = model.apply
 
     tracker_np = rois[:, 4].astype(np.int32)
@@ -130,8 +150,11 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
         coords_3d = coords_3d.at[0:2].divide(scale_factor)
         fi, valid = nms_select_t(coords_2d, scores, nms_thres, top_post)
         final_scores = jnp.where(valid, scores[fi], -1.0)
+        final_2d = coords_2d[:, fi]
+        if clip_boxes:
+            final_2d = _clip_dets_2d(final_2d, scale_factor, test_scale)
         return jnp.concatenate([
-            coords_2d[:, fi].T, final_scores[:, None], cls_pred[fi][:, None],
+            final_2d.T, final_scores[:, None], cls_pred[fi][:, None],
             coords_3d[:, fi].T, rois_t[4, fi][:, None]], axis=1)
 
     @jax.jit

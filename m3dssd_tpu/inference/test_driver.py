@@ -110,11 +110,29 @@ def _run_batched(dataset, detect_fn, params, batch_stats, conf,
             write_kitti_result(
                 os.path.join(results_path, meta["id"] + ".txt"), rows)
 
+    from collections import deque
+
     with ThreadPoolExecutor(max_workers=prefetch_workers) as pool:
-        loaded = pool.map(_load, range(n))
+        # bounded submit window: keep at most ~2 batches of futures in
+        # flight so decoded+packed images never buffer unboundedly when the
+        # workers outpace the device consumer (pool.map would submit all n
+        # upfront -> multi-GB RSS on a full val split)
+        window = max(2 * B, prefetch_workers + 1)
+        futures = deque(pool.submit(_load, i) for i in range(min(window, n)))
+        next_i = len(futures)
+
+        def loaded():
+            nonlocal next_i
+            while futures:
+                f = futures.popleft()
+                if next_i < n:
+                    futures.append(pool.submit(_load, next_i))
+                    next_i += 1
+                yield f.result()
+
         pending = None
         ims, sfs, metas = [], [], []
-        for k, (im, sf, meta) in enumerate(loaded):
+        for k, (im, sf, meta) in enumerate(loaded()):
             ims.append(im)
             sfs.append(sf)
             metas.append(meta)

@@ -30,9 +30,10 @@ class DCN(nn.Module):
     1.7x faster and scatter-free in backward; see PERF.md). Set None for the
     unbounded gather path.
 
-    Eval-mode forwards on TPU additionally use the fused Pallas kernel
-    (`ops/dcn_pallas.py` — 1.3-1.5x over the XLA shift form); training
-    keeps the differentiable XLA op.
+    A fused Pallas kernel for the shift form exists (`ops/dcn_pallas.py`)
+    but is NOT used here: it wins 1.3-1.5x in isolation yet loses in-model
+    (the custom-call boundary breaks XLA fusion/layout — see the NOTE in
+    `__call__` and dcn_pallas.py STATUS). Kept as a parity-tested probe.
     """
     features: int
     kernel: int = 3
@@ -42,7 +43,7 @@ class DCN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x):
         K = self.kernel
         KK = K * K
         om = nn.Conv(3 * KK, (K, K), strides=(self.stride, self.stride),
@@ -86,7 +87,7 @@ class DeformConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = DCN(self.features, 3, shift_clamp=self.shift_clamp,
-                dtype=self.dtype)(x, train)
+                dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          dtype=self.dtype)(x)
         return leaky_relu(x)

@@ -52,6 +52,29 @@ def _spatial_size(mesh: Mesh) -> int:
     return mesh.shape.get(SPATIAL_AXIS, 1)
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh contains devices of other processes (multi-host:
+    `jax.distributed.initialize` has been called and `jax.devices()` is
+    global)."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def _put(x, mesh: Mesh, spec) -> jax.Array:
+    """Place a host array with the given PartitionSpec — `device_put` on a
+    single-process mesh, `make_array_from_callback` when the mesh spans
+    processes (each process materializes only its addressable shards).
+
+    Multi-host contract: every process passes the same GLOBAL array (the
+    seeded loaders are deterministic, so each host computes the identical
+    batch and contributes its local slice of it)."""
+    sharding = NamedSharding(mesh, P(*spec))
+    if _spans_processes(mesh):
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = DATA_AXIS):
     """Place a host batch dict onto the mesh.
 
@@ -63,6 +86,10 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = DATA_AXIS):
     Scalars-per-image ([B]) and matrices ([B, 4, 4]) stay data-sharded only.
     """
     sp = _spatial_size(mesh)
+    # anchor tensors have N = H*W*A in their trailing dim — always large.
+    # The size floor keeps small per-image matrices (p2/p2_inv [B,4,4],
+    # whose trailing 4 can divide `sp`) data-sharded only, as documented.
+    _MIN_N = 32
 
     def put(x):
         x = np.asarray(x)
@@ -70,17 +97,20 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = DATA_AXIS):
         if sp > 1:
             if x.ndim == 4 and x.shape[1] % sp == 0:      # images [B,H,W,C]
                 spec[1] = SPATIAL_AXIS
-            elif x.ndim == 2 and x.shape[1] % sp == 0:    # [B, N]
+            elif x.ndim == 2 and x.shape[1] >= _MIN_N \
+                    and x.shape[1] % sp == 0:             # [B, N]
                 spec[1] = SPATIAL_AXIS
             elif x.ndim == 3 and x.shape[1] in (4, 7) \
+                    and x.shape[2] >= _MIN_N \
                     and x.shape[2] % sp == 0:             # [B, P, N]
                 spec[2] = SPATIAL_AXIS
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return _put(x, mesh, spec)
     return jax.tree_util.tree_map(put, batch)
 
 
 def replicate_state(mesh: Mesh, state):
-    """Replicate a pytree (train state) across the mesh."""
+    """Replicate a pytree (train state) across the mesh (multi-host aware:
+    every process holds identical values — deterministic init/restore)."""
     def put(x):
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        return _put(np.asarray(x), mesh, [])
     return jax.tree_util.tree_map(put, state)

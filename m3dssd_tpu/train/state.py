@@ -115,12 +115,22 @@ def make_train_step(conf, rois: np.ndarray, packed_input: bool = False):
 
     packed_input: batch images arrive space-to-depth packed
     ([B, H/2, W/2, 4C], host-side relayout — data/loader.py pack_s2d).
+
+    Layer freezing: frozen params get zero optimizer updates (make_optimizer)
+    AND frozen layers' BatchNorm running stats are pinned — the reference
+    puts frozen BN modules in `.eval()` so their running statistics stop
+    drifting (ref:lib/core.py:462-473). The remaining (deliberate)
+    difference: the reference's eval-mode BN also *normalizes by* the
+    running stats in the frozen layers' train forward; here the forward
+    keeps batch statistics (per-layer use_running_average would thread a
+    path predicate through every flax module for a second-order effect).
     """
     loss_cfg = RPNLossConfig.from_conf(conf)
     rois_c = jnp.asarray(rois[:, :5], jnp.float32)
     anchors_c = jnp.asarray(conf.anchors, jnp.float32)
     means_c = jnp.asarray(conf.bbox_means, jnp.float32)
     stds_c = jnp.asarray(conf.bbox_stds, jnp.float32)
+    bs_trainable = freeze_mask_fn(conf)   # path predicate, or None
 
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
@@ -135,6 +145,12 @@ def make_train_step(conf, rois: np.ndarray, packed_input: bool = False):
             return loss, (stats, mutated["batch_stats"])
 
         grads, (stats, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if bs_trainable is not None:
+            # frozen-layer BN running stats keep their old values (the
+            # select happens at trace time — no runtime cost)
+            new_bs = jax.tree_util.tree_map_with_path(
+                lambda p, new, old: new if bs_trainable(p, new) else old,
+                new_bs, state.batch_stats)
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,

@@ -37,13 +37,25 @@ def enable_compilation_cache():
 
 class Trainer:
     def __init__(self, conf, data_root: str, output_dir: str,
-                 cache_folder: Optional[str] = None, use_mesh: bool = True):
+                 cache_folder: Optional[str] = None, use_mesh: bool = True,
+                 timestamped: bool = False):
         enable_compilation_cache()
         self.conf = conf
         self.data_root = data_root
+        if timestamped:
+            # reference run-tree convention: output/<exp>/<timestamp>/
+            # (ref:lib/core.py:698-739 init_training_paths)
+            output_dir = os.path.join(output_dir,
+                                      time.strftime("%Y%m%d_%H%M%S"))
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
         init_logging(os.path.join(output_dir, "log", "train.log"))
+        # pretty-printed resolved config in the run log (ref:lib/util.py:32)
+        from ..utils.logging_utils import pretty_print
+        import dataclasses as _dc
+        logging.info("\n%s", pretty_print(
+            "conf", {f.name: getattr(conf, f.name)
+                     for f in _dc.fields(conf)}))
 
         # Parity pinning: importing a reference checkpoint with learned DCN
         # offsets forces the exact gather-path DCN (see
@@ -166,8 +178,15 @@ class Trainer:
         tracker = StatTracker(writer=self.writer)
         t0 = time.time()
         it = int(self.state.step)
+        # resume parity: after --restore, continue the epoch numbering and
+        # the eval/snapshot cadence from the restored step instead of
+        # restarting at epoch 0 (ref:scripts/train_rpn_3d.py:148-151,
+        # ref:lib/core.py:803-812 resume at start_epoch). Checkpoints are
+        # written at epoch boundaries, so the division is exact there.
+        start_epoch = it // self.steps_per_epoch
+        it0 = it   # ETA over *this session's* iterations only
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             for batch in self.loader.batches(self.steps_per_epoch):
                 if self.mesh is not None:
                     batch = shard_batch(self.mesh, batch)
@@ -176,12 +195,12 @@ class Trainer:
                 tracker.update({k: v for k, v in stats.items()})
                 it += 1
                 if it % max(int(conf.display_iter), 1) == 0:
-                    eta, dt = compute_eta(t0, it, self.max_iter)
+                    eta, dt = compute_eta(t0, it - it0, self.max_iter - it0)
                     tracker.flush(it, extra=f"epoch {epoch} dt {dt:.3f}s eta {eta}")
 
             # epoch-end flush so short runs still report
             if tracker.counts:
-                eta, dt = compute_eta(t0, it, self.max_iter)
+                eta, dt = compute_eta(t0, it - it0, self.max_iter - it0)
                 tracker.flush(it, extra=f"epoch {epoch} end dt {dt:.3f}s eta {eta}")
 
             if (epoch + 1) % conf.snapshot_epoch == 0 or epoch + 1 == epochs:
@@ -195,3 +214,22 @@ class Trainer:
                                     self.state, it)
                     logging.info("new best model: %.4f", sel)
         return self.state
+
+    def finalize_run_dir(self) -> str:
+        """End-of-run convention: rename the run directory to carry the best
+        selection metric, `<output_dir>_<best>` (ref:scripts/train_rpn_3d.py
+        :305-308 renames when the metric is meaningful). Returns the (possibly
+        renamed) output path. No-op when no eval produced a metric."""
+        if self.best_metric <= 0:
+            return self.output_dir
+        if self.writer is not None:
+            try:
+                self.writer.close()
+            except Exception:
+                pass
+            self.writer = None
+        new_dir = f"{self.output_dir}_{self.best_metric:.4f}"
+        os.rename(self.output_dir, new_dir)
+        logging.info("run dir renamed: %s", new_dir)
+        self.output_dir = new_dir
+        return new_dir

@@ -27,6 +27,27 @@ def init_logging(log_file: Optional[str] = None, level=logging.INFO):
         format="%(asctime)s %(levelname)s %(message)s", datefmt="%H:%M:%S")
 
 
+def pretty_print(name: str, d: Dict, val_width: int = 60) -> str:
+    """Aligned 'name.key: value' dump of a config dict for the run log
+    (ref:lib/util.py:32-100). Long values are truncated, numpy arrays are
+    summarized by shape."""
+    import numpy as np
+
+    rows = []
+    key_w = max((len(k) for k in d), default=0)
+    for k in sorted(d):
+        v = d[k]
+        if isinstance(v, np.ndarray):
+            s = f"ndarray{v.shape} dtype={v.dtype}"
+        else:
+            s = repr(v)
+        if len(s) > val_width:
+            s = s[:val_width - 3] + "..."
+        rows.append(f"{name}.{k:<{key_w}} : {s}")
+    bar = "-" * (len(name) + key_w + val_width + 4)
+    return "\n".join([bar] + rows + [bar])
+
+
 def compute_eta(start_time, idx, total):
     """ETA string (ref:lib/util.py:145-166)."""
     dt = (time.time() - start_time) / max(idx, 1)

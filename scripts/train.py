@@ -26,6 +26,10 @@ def main():
     p.add_argument("--backbone", default=None)
     p.add_argument("--crop", type=int, nargs=2, default=None)
     p.add_argument("--no_pretrain", action="store_true")
+    p.add_argument("--timestamp", action="store_true",
+                   help="create a timestamped run dir under --output "
+                        "(reference convention: output/<exp>/<ts>/) and "
+                        "rename it with the best metric at the end")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host training: call jax.distributed.initialize"
                         " before backend init (same SPMD code then spans "
@@ -58,11 +62,14 @@ def main():
     if over:
         conf = conf.replace(**over)
 
-    trainer = Trainer(conf, args.data_root, args.output, cache_folder=args.cache)
+    trainer = Trainer(conf, args.data_root, args.output,
+                      cache_folder=args.cache, timestamped=args.timestamp)
     if args.restore is not None:
         trainer.state = restore_checkpoint(
             os.path.join(args.output, "weights"), trainer.state, args.restore)
     trainer.run(args.epochs)
+    if args.timestamp:
+        trainer.finalize_run_dir()
 
 
 if __name__ == "__main__":

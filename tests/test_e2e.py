@@ -212,6 +212,47 @@ def test_packed_driver_matches_raw(synthetic_kitti, tiny_conf, tmp_path):
         assert open(f1).read() == open(f2).read(), os.path.basename(f1)
 
 
+def test_clip_boxes_clamps_post_nms(synthetic_kitti, tiny_conf):
+    """conf.clip_boxes clamps final 2D boxes to the original image bounds
+    AFTER NMS (ref:lib/rpn_util.py:1556-1561): the clipped detector's output
+    equals a manual clip of the unclipped one — same rows, same suppression."""
+    import jax.numpy as jnp
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.inference.detect import make_batch_detector, make_detector
+    from m3dssd_tpu.models import build
+
+    conf = tiny_conf.replace(anchors=None)
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
+    val = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
+    model = build(conf)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 128, 3), jnp.float32), train=False)
+    p, bs = v["params"], v.get("batch_stats", {})
+
+    conf_clip = conf.replace(clip_boxes=True)
+    im = val[0]["input"][None]
+    sf = np.float32(0.5)     # original image = 2x the network input
+    raw = np.asarray(make_detector(conf, ds.rois, model)(p, bs, im, sf))
+    clip = np.asarray(make_detector(conf_clip, ds.rois, model)(p, bs, im, sf))
+
+    im_h = conf.test_scale[0] / sf - 1
+    im_w = conf.test_scale[1] / sf - 1
+    want = raw.copy()
+    want[:, 0] = np.clip(want[:, 0], 0, im_w)
+    want[:, 1] = np.clip(want[:, 1], 0, im_h)
+    want[:, 2] = np.clip(want[:, 2], 0, im_w)
+    want[:, 3] = np.clip(want[:, 3], 0, im_h)
+    np.testing.assert_allclose(clip, want, rtol=1e-5, atol=1e-4)
+    # the knob actually did something: at least one box was out of bounds
+    assert not np.allclose(clip[:, :4], raw[:, :4])
+    assert (clip[:, 0] >= 0).all() and (clip[:, 2] <= im_w + 1e-4).all()
+
+    # batched detector applies the same clip
+    clipB = np.asarray(make_batch_detector(conf_clip, ds.rois, model)(
+        p, bs, im, jnp.array([sf])))[0]
+    np.testing.assert_allclose(clipB, clip, rtol=1e-4, atol=1e-3)
+
+
 def test_bf16_upload_identical_to_f32(synthetic_kitti, tiny_conf):
     """Pre-casting eval images to bf16 host-side (the eval driver does this
     for bf16 models to halve upload bytes) gives identical detections: the
