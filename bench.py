@@ -69,6 +69,16 @@ def main():
                            train=False)
     params, bs = variables["params"], variables.get("batch_stats", {})
 
+    # Deployment-realistic confidence sparsity: a freshly initialized
+    # softmax puts P(bg) ~= 1/num_classes at EVERY position, which no
+    # trained detector ever does (P(bg) -> ~1 almost everywhere; only a few
+    # dozen positions per image clear the 0.5 alignment threshold). Raise
+    # the background logit bias so the benchmark exercises the same
+    # sparse-alignment regime as a trained checkpoint; positions over the
+    # threshold still take the exact dense-corrected path (models/align.py).
+    from m3dssd_tpu.models.rpn import bias_background
+    params = bias_background(params, conf.num_classes)
+
     from m3dssd_tpu.models.dla import space_to_depth_np
 
     # host-side space-to-depth input (free exact relayout; the production

@@ -34,6 +34,14 @@ class Config:
     # feature alignment (ref:model/module/feturealign_mgpu.py)
     center_align: bool = False
     shape_align: bool = False
+    # top-M sparse alignment: the align DCNs only deviate from
+    # `mask*conv(x)+b` at positions whose max anchor confidence exceeds the
+    # align threshold; with a per-image budget M the deformable gather runs
+    # only there (exact — lax.cond falls back to the dense DCN if more than
+    # M positions are confident). 0 disables. Eval-only unless
+    # sparse_align_train is set (models/align.py:SparseSel).
+    sparse_align_topm: int = 1024
+    sparse_align_train: bool = False
 
     # ----------------------------------------------------------------- solver
     solver_type: str = "sgd"          # sgd | adam | adamax

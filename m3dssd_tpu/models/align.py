@@ -20,14 +20,66 @@ Layouts: feature x [B,H,W,C]; per-anchor confidence prob [B,H,W,A].
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.dcn import dcn_v2
+from ..ops.dcn import bilinear_sample_rows, dcn_v2
+
+
+class SparseSel(NamedTuple):
+    """Shared top-M confident-position selection for the alignment modules.
+
+    Both align flavors mask their derived offsets by `max anchor confidence
+    > thresh` — at every other position the DCN collapses EXACTLY to
+    `mask * conv(x) + bias` (offsets are zero, bilinear weights degenerate
+    to the rigid grid). So the full-map deformable gather — the detect hot
+    spot, ~3 ms of 13.5 ms at 512x1760 (PERF.md) — only ever matters at the
+    confident positions, which a trained detector has a few dozen of per
+    image. The sparse path computes the cheap dense form everywhere plus a
+    gather/scatter correction at the top-M confident positions; when more
+    than M positions are confident it falls back to the dense DCN
+    (`lax.cond`), so the result is exact in both regimes.
+    """
+    pos: jnp.ndarray    # [M] flat indices into B*H*W; sentinel B*H*W = unused
+    ok: jnp.ndarray     # scalar bool: every confident position fits in M
+    mask: jnp.ndarray   # [B,H,W,1] max anchor confidence (stop-gradded)
+    ind: jnp.ndarray    # [B,H,W] argmax anchor
+
+
+def confident_topm(prob, thresh: float, m_per_image: int) -> SparseSel:
+    """Select (up to) the first M = m_per_image*B confident positions.
+
+    Selection is compaction, not sorting: a cumsum over the confidence flags
+    gives each confident position its output slot, and `searchsorted` on the
+    (monotone) cumsum inverts that map with log2(B*H*W) tiny gathers — a
+    full `lax.top_k` over B*H*W scores lowers through TPU sort machinery
+    (~20 ms at 507k rows, PERF.md) and is never needed for exactness.
+    """
+    B, H, W, A = prob.shape
+    prob = jax.lax.stop_gradient(prob)
+    mask = jnp.max(prob, axis=-1, keepdims=True)
+    ind = jnp.argmax(prob, axis=-1)
+    M = int(min(m_per_image * B, B * H * W))
+    flags = (mask[..., 0] > thresh).reshape(-1)
+    ranks = jnp.cumsum(flags.astype(jnp.int32))
+    cnt = ranks[-1]
+    pos = jnp.searchsorted(ranks, jnp.arange(1, M + 1, dtype=jnp.int32),
+                           side="left")
+    return SparseSel(pos.astype(jnp.int32), cnt <= M, mask, ind)
+
+
+def _flat_coords(pos, B, H, W):
+    """pos [M] flat B*H*W indices -> (b, y, x) int32 components."""
+    HW = H * W
+    bi = pos // HW
+    rem = pos - bi * HW
+    yy = rem // W
+    xx = rem - yy * W
+    return bi, yy, xx
 
 
 def _topk_anchor_gather(prob, fields, k: int, thresh: float):
@@ -88,9 +140,14 @@ class ShapeAlign(nn.Module):
             (K, K, self.features, self.features))
         self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-    def __call__(self, x, prob):
+    def __call__(self, x, prob, sparse_sel: Optional[SparseSel] = None):
         B, H, W, C = x.shape
         K = self.kernel
+        if self.k == 1 and sparse_sel is not None:
+            aligned = jax.lax.cond(sparse_sel.ok,
+                                   lambda: self._sparse(x, sparse_sel),
+                                   lambda: self._dense(x, sparse_sel))
+            return aligned + x
         if self.k == 1:
             # the offset field is a CONSTANT per-anchor table: select rows
             # of the [A, K*K*2] table by the argmax anchor instead of
@@ -98,21 +155,73 @@ class ShapeAlign(nn.Module):
             prob = jax.lax.stop_gradient(prob)
             mask = jnp.max(prob, axis=-1, keepdims=True)
             ind = jnp.argmax(prob, axis=-1)                # [B,H,W]
-            hard = (mask > self.thresh).astype(x.dtype)
-            table = self.anchor_offsets.reshape(-1, K * K * 2).astype(x.dtype)
-            offset = table[ind] * hard                     # [B,H,W,KK*2]
-        else:
-            fields = jnp.broadcast_to(
-                self.anchor_offsets.reshape(1, 1, 1, -1, K * K * 2),
-                (B, H, W, self.anchor_offsets.shape[0],
-                 K * K * 2)).astype(x.dtype)
-            offset, mask = _topk_anchor_gather(prob, fields, self.k,
-                                               self.thresh)
+            aligned = self._dense(x, SparseSel(None, None, mask, ind))
+            return aligned + x
+        fields = jnp.broadcast_to(
+            self.anchor_offsets.reshape(1, 1, 1, -1, K * K * 2),
+            (B, H, W, self.anchor_offsets.shape[0],
+             K * K * 2)).astype(x.dtype)
+        offset, mask = _topk_anchor_gather(prob, fields, self.k,
+                                           self.thresh)
         offset = offset.reshape(B, H, W, K * K, 2)
         dcn_mask = jnp.broadcast_to(mask, (B, H, W, K * K)).astype(x.dtype)
         aligned = dcn_v2(x, offset, dcn_mask, self.weight.astype(x.dtype),
                          self.bias.astype(x.dtype), stride=1, padding=K // 2)
         return aligned + x
+
+    def _dense(self, x, sel: SparseSel):
+        """Full-map deformable path (k=1): exact reference semantics."""
+        B, H, W, C = x.shape
+        K = self.kernel
+        hard = (sel.mask > self.thresh).astype(x.dtype)
+        table = self.anchor_offsets.reshape(-1, K * K * 2).astype(x.dtype)
+        offset = (table[sel.ind] * hard).reshape(B, H, W, K * K, 2)
+        dcn_mask = jnp.broadcast_to(sel.mask,
+                                    (B, H, W, K * K)).astype(x.dtype)
+        return dcn_v2(x, offset, dcn_mask, self.weight.astype(x.dtype),
+                      self.bias.astype(x.dtype), stride=1, padding=K // 2)
+
+    def _sparse(self, x, sel: SparseSel):
+        """Dense `mask*conv3x3(x)+b` + gather/scatter correction at the
+        top-M confident positions. Exact vs `_dense` (modulo float
+        reassociation): at non-confident positions the offsets are zero so
+        the deformable sampling IS the rigid 3x3 grid."""
+        B, H, W, C = x.shape
+        K = self.kernel
+        KK = K * K
+        pad = K // 2
+        w = self.weight.astype(x.dtype)
+        bias = self.bias.astype(x.dtype)
+        f32 = jnp.float32
+        acc_t = jnp.promote_types(x.dtype, f32)
+
+        base = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=acc_t)
+        dense = sel.mask.astype(x.dtype) * base.astype(x.dtype) + bias
+
+        pos = sel.pos
+        M = pos.shape[0]
+        bi, yy, xx = _flat_coords(pos, B, H, W)
+        ind_p = jnp.take(sel.ind.reshape(-1), pos, mode="clip")
+        mask_p = jnp.take(sel.mask.reshape(-1), pos, mode="clip")
+        table = self.anchor_offsets.reshape(-1, KK, 2)          # f32 [A,KK,2]
+        off_p = jnp.take(table, ind_p, axis=0, mode="clip")     # [M,KK,2]
+        tap_y = jnp.repeat(jnp.arange(K, dtype=f32), K)
+        tap_x = jnp.tile(jnp.arange(K, dtype=f32), K)
+        py = (yy.astype(f32)[:, None] - pad + tap_y[None, :]) + off_p[..., 0]
+        px = (xx.astype(f32)[:, None] - pad + tap_x[None, :]) + off_p[..., 1]
+        sampled = bilinear_sample_rows(x, bi, py, px)           # [M,KK,C]
+        cols = (sampled * mask_p[:, None, None].astype(x.dtype)
+                ).reshape(M, KK * C)
+        val = jax.lax.dot_general(cols, w.reshape(KK * C, -1),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=acc_t)
+        val = val.astype(x.dtype) + bias
+        out = dense.reshape(B * H * W, -1).at[pos].set(
+            val, mode="drop", unique_indices=True)
+        return out.reshape(B, H, W, -1)
 
 
 class CenterAlign(nn.Module):
@@ -143,8 +252,19 @@ class CenterAlign(nn.Module):
             (K, K, self.features, self.features))
         self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-    def __call__(self, x, bbox_x, bbox_y, prob):
+    def __call__(self, x, bbox_x, bbox_y, prob,
+                 sparse_sel: Optional[SparseSel] = None):
         """bbox_x/bbox_y: per-anchor whitened delta predictions [B,H,W,A]."""
+        if self.k == 1 and self.kernel == 1 and sparse_sel is not None:
+            aligned = jax.lax.cond(
+                sparse_sel.ok,
+                lambda: self._sparse(x, bbox_x, bbox_y, sparse_sel),
+                lambda: self._dense(x, bbox_x, bbox_y, prob))
+            return aligned + x
+        aligned = self._dense(x, bbox_x, bbox_y, prob)
+        return aligned + x
+
+    def _dense(self, x, bbox_x, bbox_y, prob):
         B, H, W, C = x.shape
         K = self.kernel
         bbox_x = jax.lax.stop_gradient(bbox_x).astype(jnp.float32)
@@ -157,6 +277,46 @@ class CenterAlign(nn.Module):
         offset = jnp.broadcast_to(offset[:, :, :, None, :],
                                   (B, H, W, K * K, 2)).astype(x.dtype)
         dcn_mask = jnp.broadcast_to(mask, (B, H, W, K * K)).astype(x.dtype)
-        aligned = dcn_v2(x, offset, dcn_mask, self.weight.astype(x.dtype),
-                         self.bias.astype(x.dtype), stride=1, padding=K // 2)
-        return aligned + x
+        return dcn_v2(x, offset, dcn_mask, self.weight.astype(x.dtype),
+                      self.bias.astype(x.dtype), stride=1, padding=K // 2)
+
+    def _sparse(self, x, bbox_x, bbox_y, sel: SparseSel):
+        """1x1 deformable tap as `mask*(x@W)+b` (NO gather at all in the
+        dense part — a zero offset on a 1x1 kernel is the identity sample)
+        plus a bilinear correction at the top-M confident positions."""
+        B, H, W, C = x.shape
+        f32 = jnp.float32
+        acc_t = jnp.promote_types(x.dtype, f32)
+        w = self.weight.astype(x.dtype).reshape(C, -1)          # [C,Cout]
+        bias = self.bias.astype(x.dtype)
+
+        base = jax.lax.dot_general(x.reshape(B * H * W, C), w,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=acc_t)
+        dense = (sel.mask.reshape(-1, 1).astype(x.dtype)
+                 * base.astype(x.dtype) + bias)
+
+        pos = sel.pos
+        bi, yy, xx = _flat_coords(pos, B, H, W)
+        A = bbox_x.shape[-1]
+        bx = jnp.take(jax.lax.stop_gradient(bbox_x).astype(f32)
+                      .reshape(-1, A), pos, axis=0, mode="clip")   # [M,A]
+        by = jnp.take(jax.lax.stop_gradient(bbox_y).astype(f32)
+                      .reshape(-1, A), pos, axis=0, mode="clip")
+        ind_p = jnp.take(sel.ind.reshape(-1), pos, mode="clip")
+        mask_p = jnp.take(sel.mask.reshape(-1), pos, mode="clip")
+        bx_p = jnp.take_along_axis(bx, ind_p[:, None], axis=1)[:, 0]
+        by_p = jnp.take_along_axis(by, ind_p[:, None], axis=1)[:, 0]
+        aw = jnp.take(self.anchor_w, ind_p, mode="clip")
+        ah = jnp.take(self.anchor_h, ind_p, mode="clip")
+        off_x = (bx_p * self._std[0] + self._mean[0]) * aw
+        off_y = (by_p * self._std[1] + self._mean[1]) * ah
+        py = yy.astype(f32) + off_y
+        px = xx.astype(f32) + off_x
+        sampled = bilinear_sample_rows(x, bi, py[:, None], px[:, None])[:, 0]
+        val = jax.lax.dot_general(
+            sampled * mask_p[:, None].astype(x.dtype), w,
+            (((1,), (0,)), ((), ())), preferred_element_type=acc_t)
+        val = val.astype(x.dtype) + bias
+        out = dense.at[pos].set(val, mode="drop", unique_indices=True)
+        return out.reshape(B, H, W, -1)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .align import CenterAlign, ShapeAlign
+from .align import CenterAlign, ShapeAlign, confident_topm
 from .attention import ANAB
 from .layers import BN_MOMENTUM, leaky_relu
 from .necks import DLASeg
@@ -91,6 +91,12 @@ class M3DRPN(nn.Module):
     dcn_shift_clamp: Any = 1.0
     stem_s2d: bool = True
     head_hidden: int = 256
+    # top-M sparse alignment (models/align.py:SparseSel): per-image budget
+    # of confident positions corrected by the deformable gather; 0 = always
+    # dense. Exact either way (dense fallback via lax.cond on overflow).
+    sparse_align_topm: int = 0
+    sparse_align_train: bool = False   # apply the sparse path in training too
+    align_thresh: float = 0.5
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -118,14 +124,15 @@ class M3DRPN(nn.Module):
         ch = self.base.out_channels
         if self.shape_align:
             self.shape_align_mod = ShapeAlign(
-                ch, self.anchors, self.feat_stride, kernel=3, dtype=self.dtype)
+                ch, self.anchors, self.feat_stride, kernel=3,
+                thresh=self.align_thresh, dtype=self.dtype)
         if self.center_align:
             self.center_align2d = CenterAlign(
                 ch, self.anchors, self.bbox_means[0:2], self.bbox_stds[0:2],
-                self.feat_stride, dtype=self.dtype)
+                self.feat_stride, thresh=self.align_thresh, dtype=self.dtype)
             self.center_align3d = CenterAlign(
                 ch, self.anchors, self.bbox_means[4:6], self.bbox_stds[4:6],
-                self.feat_stride, dtype=self.dtype)
+                self.feat_stride, thresh=self.align_thresh, dtype=self.dtype)
         if self.attention == "ANAB":
             self.anab = ANAB(dtype=self.dtype)
             self.anab_bn = nn.BatchNorm(momentum=BN_MOMENTUM, dtype=self.dtype)
@@ -165,13 +172,24 @@ class M3DRPN(nn.Module):
             best = jnp.maximum(best, sl[c])
         det_cls = det_cls + 1.0                            # class ids 1..C-1
 
-        feats = self.shape_align_mod(x, fg_prob) if self.shape_align else x
+        # shared top-M confident-position selection for all three alignment
+        # modules (same fg_prob, same threshold) — see align.SparseSel
+        sel = None
+        if (self.sparse_align_topm > 0
+                and (self.shape_align or self.center_align)
+                and (not train or self.sparse_align_train)):
+            sel = confident_topm(fg_prob, self.align_thresh,
+                                 self.sparse_align_topm)
+
+        feats = self.shape_align_mod(x, fg_prob, sparse_sel=sel) \
+            if self.shape_align else x
 
         bbox_x = self.bbox_x(feats, train)                 # [B,H,W,A]
         bbox_y = self.bbox_y(feats, train)
 
         if self.center_align:
-            feats2d = self.center_align2d(feats, bbox_x, bbox_y, fg_prob)
+            feats2d = self.center_align2d(feats, bbox_x, bbox_y, fg_prob,
+                                          sparse_sel=sel)
         else:
             feats2d = feats
         bbox_w = self.bbox_w(feats2d, train)
@@ -180,7 +198,8 @@ class M3DRPN(nn.Module):
         bbox_x3d = self.bbox_x3d(feats, train)
         bbox_y3d = self.bbox_y3d(feats, train)
         if self.center_align:
-            feats3d = self.center_align3d(feats, bbox_x3d, bbox_y3d, fg_prob)
+            feats3d = self.center_align3d(feats, bbox_x3d, bbox_y3d, fg_prob,
+                                          sparse_sel=sel)
         else:
             feats3d = feats
         bbox_w3d = self.bbox_w3d(feats3d, train)
@@ -216,6 +235,27 @@ class M3DRPN(nn.Module):
         }
 
 
+def bias_background(params, num_classes: int, bias: float = 4.0):
+    """Return `params` with the classification tower's background-logit bias
+    raised by `bias` (benchmark/profiling helper).
+
+    A freshly initialized softmax puts P(bg) ~= 1/num_classes at every
+    position; every trained detector instead has P(bg) -> ~1 almost
+    everywhere, which is the regime the sparse alignment path (align.py)
+    and any confidence-dependent cost sees in deployment. bias=4.0 gives
+    P(bg) ~= e^4/(e^4 + C-1) ~= 0.95.
+    """
+    import jax.numpy as jnp
+    b = np.array(params["cls_tower"]["Conv_2"]["bias"])
+    b[0::num_classes] += bias           # channel layout (a, c): bg is c == 0
+    out = dict(params)
+    out["cls_tower"] = dict(params["cls_tower"])
+    out["cls_tower"]["Conv_2"] = dict(params["cls_tower"]["Conv_2"])
+    out["cls_tower"]["Conv_2"]["bias"] = jnp.asarray(
+        b, dtype=params["cls_tower"]["Conv_2"]["bias"].dtype)
+    return out
+
+
 def build(conf, phase: str = "train") -> M3DRPN:
     """Model factory (ref:model/M3d_inference_align.py:316-331).
 
@@ -241,5 +281,7 @@ def build(conf, phase: str = "train") -> M3DRPN:
         ida_dcnv2=conf.ida_dcnv2,
         dcn_shift_clamp=getattr(conf, "dcn_shift_clamp", 1.0),
         stem_s2d=getattr(conf, "stem_s2d", True),
+        sparse_align_topm=int(getattr(conf, "sparse_align_topm", 0)),
+        sparse_align_train=bool(getattr(conf, "sparse_align_train", False)),
         dtype=dtype,
     )

@@ -94,6 +94,32 @@ def bilinear_sample(x, py, px):
     return out.reshape((B,) + sshape + (C,))
 
 
+def bilinear_sample_rows(x, b_idx, py, px):
+    """Bilinearly sample x [B,H,W,C] at M *scattered* points that each carry
+    their own batch index: b_idx [M] int, py/px [M, S] pixel coords.
+    Returns [M, S, C]. Same per-corner out-of-bounds semantics as
+    `bilinear_sample`; same flat-row-gather formulation (the batch offset is
+    folded into the row index).
+
+    This is the sparse-correction workhorse: the top-M confident-position
+    alignment path (models/align.py) gathers M*S*4 rows instead of
+    B*H*W*KK*4 — the full-map gather is the detect hot spot (PERF.md).
+    """
+    B, H, W, C = x.shape
+    M, S = py.shape
+    coord_t = jnp.promote_types(py.dtype, jnp.float32)
+    py = py.astype(coord_t)
+    px = px.astype(coord_t)
+    xf = x.reshape(B * H * W, C)
+    base = (jnp.clip(b_idx.astype(jnp.int32), 0, B - 1) * (H * W))[:, None]
+
+    out = jnp.zeros((M, S, C), dtype=x.dtype)
+    for idx, w in _bilinear_weights_and_indices(py, px, H, W):
+        v = jnp.take(xf, (idx + base).reshape(-1), axis=0, mode="clip")
+        out = out + v.reshape(M, S, C) * w[..., None].astype(x.dtype)
+    return out
+
+
 def bilinear_sample_packed(x, py, px):
     """`bilinear_sample` computed with ONE row gather instead of four.
 

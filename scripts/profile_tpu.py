@@ -21,6 +21,15 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--trace", default=None, help="jax.profiler trace dir")
+    p.add_argument("--bg_bias", type=float, default=0.0,
+                   help="raise the background logit bias (emulates a trained "
+                        "detector's confidence sparsity; models/rpn.py:"
+                        "bias_background)")
+    p.add_argument("--sparse_train", action="store_true",
+                   help="enable the sparse alignment path in the train step "
+                        "(conf.sparse_align_train)")
+    p.add_argument("--dense_align", action="store_true",
+                   help="disable sparse alignment (conf.sparse_align_topm=0)")
     args = p.parse_args()
 
     import jax
@@ -37,6 +46,10 @@ def main():
     from m3dssd_tpu.train.state import create_train_state, make_train_step
 
     conf = _flagship_conf(tuple(args.shape))
+    if args.sparse_train:
+        conf = conf.replace(sparse_align_train=True)
+    if args.dense_align:
+        conf = conf.replace(sparse_align_topm=0)
     model = build(conf)
     rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
     rng = jax.random.PRNGKey(0)
@@ -55,6 +68,10 @@ def main():
     if args.train:
         conf = conf.replace(batch_size=args.batch)
         state = create_train_state(conf, model, rng, max_iter=1000)
+        if args.bg_bias:
+            from m3dssd_tpu.models.rpn import bias_background
+            state = state.replace(params=bias_background(
+                state.params, conf.num_classes, args.bg_bias))
         # pack images host-side exactly like the trainer (loader pack_s2d)
         packed = conf.stem_s2d and all(s % 2 == 0 for s in args.shape)
         step = make_train_step(conf, rois, packed_input=packed)
@@ -94,6 +111,11 @@ def main():
     else:
         v = model.init(rng, jnp.zeros((1, 64, 128, 3), jnp.float32),
                        train=False)
+        if args.bg_bias:
+            from m3dssd_tpu.models.rpn import bias_background
+            v = dict(v)
+            v["params"] = bias_background(v["params"], conf.num_classes,
+                                          args.bg_bias)
         detect = make_detector(conf, rois, model)
         x = jnp.zeros((1, *args.shape, 3), jnp.float32)
         if args.trace:
