@@ -130,6 +130,11 @@ class Config:
     # eval-time inference batch size (the reference is hardwired bs=1,
     # ref:lib/dataloader.py:906; batching is AP-neutral throughput here)
     eval_batch_size: int = 8
+    # byte cap (MB) for caching decoded+preprocessed eval images across
+    # repeated evals of the same split (0 = off). Eval preprocessing is
+    # deterministic, so the cache is exact; sized for periodic val evals
+    # during training on hosts where PNG decode dominates (PERF.md).
+    eval_image_cache_mb: int = 512
 
     # ----------------------------------------------------------------- anchors
     # cluster_anchors > 0 enables IoU k-means refinement; even_anchors seeds

@@ -188,6 +188,17 @@ class Kitti3DDataset:
             self.transform = Preprocess(conf.test_scale, conf.image_means, conf.image_stds)
             self._rois = None
 
+        # eval-phase decoded-sample cache (byte-capped, insertion order):
+        # repeated evals of the same split (trainer eval-every-N-epochs,
+        # watch_eval) skip PNG decode + resize + normalize (~55 ms/image on
+        # a 1-core host — the eval loop is host-bound there, PERF.md).
+        # Eval samples are deterministic (Preprocess has no randomness), so
+        # caching is exact. conf.eval_image_cache_mb = 0 disables.
+        self._cache_cap = (int(getattr(conf, "eval_image_cache_mb", 0))
+                           * (1 << 20) if phase != "train" else 0)
+        self._cache: dict = {}
+        self._cache_bytes = 0
+
     def __len__(self):
         return len(self.imdb)
 
@@ -220,6 +231,9 @@ class Kitti3DDataset:
         import copy
         from ..targets import build_targets
 
+        if self._cache_cap and index in self._cache:
+            return self._cache[index]
+
         im = self.read_image(index)
         imobj = copy.deepcopy(self.imdb[index])
         im, imobj = self.transform(im, imobj)
@@ -234,4 +248,7 @@ class Kitti3DDataset:
                            "id": imobj.id}}
         if self.phase == "train":
             sample["target"] = build_targets(self.conf, imobj, rois=self._rois)
+        elif self._cache_cap and self._cache_bytes < self._cache_cap:
+            self._cache[index] = sample
+            self._cache_bytes += sample["input"].nbytes
         return sample

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""End-to-end convergence check at realistic scale (quality-gate proxy).
+
+Trains a kitti_3d_base-shaped config (dla34 @ 384x1280, bf16 + s2d stem +
+shift-DCN necks all ON — the production fast paths) on a few-hundred-image
+synthetic KITTI set, evaluating every few epochs, and prints the full AP
+trajectory on BOTH splits at the end. Mirrors the reference's
+eval-every-epoch loop (ref:scripts/train_rpn_3d.py:266-297) at a scale that
+runs in ~30 min on one chip. Results are recorded in PERF.md.
+
+Usage:
+    python scripts/convergence_check.py [--root /tmp/conv] [--epochs 40]
+        [--num_train 240] [--num_val 40] [--eval_epoch 5]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="/tmp/conv")
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--num_train", type=int, default=240)
+    p.add_argument("--num_val", type=int, default=40)
+    p.add_argument("--eval_epoch", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--backbone", default="dla34")
+    p.add_argument("--crop", type=int, nargs=2, default=[384, 1280])
+    args = p.parse_args()
+
+    from m3dssd_tpu.config import load_config
+    from m3dssd_tpu.data.synthetic import generate
+    from m3dssd_tpu.train.trainer import Trainer
+
+    data_root = os.path.join(args.root, "data")
+    if not os.path.isdir(os.path.join(data_root, "kitti_split1")):
+        generate(data_root, num_train=args.num_train, num_val=args.num_val,
+                 seed=11, classes=("Car", "Pedestrian", "Cyclist"),
+                 max_objs=6)
+        print(f"generated synthetic KITTI: {args.num_train} train / "
+              f"{args.num_val} val", flush=True)
+
+    conf = load_config("kitti_3d_base").replace(
+        back_bone=args.backbone, batch_size=args.batch_size,
+        crop_size=list(args.crop), test_scale=list(args.crop),
+        pre_train=False, max_epoch=args.epochs, eval_epoch=args.eval_epoch,
+        snapshot_epoch=max(args.epochs // 4, 1), display_iter=20,
+        num_workers=4, score_thres=0.3)
+    assert conf.compute_dtype == "bfloat16" and conf.stem_s2d \
+        and conf.dcn_shift_clamp is not None, "fast paths must be ON"
+
+    out = os.path.join(args.root, "out")
+    trainer = Trainer(conf, data_root, out, cache_folder=os.path.join(
+        args.root, "cache"))
+
+    # record the val AP trajectory as evals fire
+    trajectory = []
+    orig_eval = trainer._eval
+
+    def eval_and_record(epoch):
+        sel = orig_eval(epoch)
+        trajectory.append({"epoch": epoch, "val_car_3d_r40": sel})
+        print(f"[trajectory] epoch {epoch}: val Car 3D R40 = {sel:.2f}",
+              flush=True)
+        return sel
+
+    trainer._eval = eval_and_record
+    trainer.run()
+
+    # final AP on the TRAINING split (overfit sanity: must be >> val of a
+    # random model; NaN-free bf16 training is the actual gate)
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.inference.detect import (make_batch_detector,
+                                             packed_input_eligible)
+    from m3dssd_tpu.inference.test_driver import test_kitti_3d
+    train_ds = Kitti3DDataset(conf, data_root, phase="train")
+    packed = packed_input_eligible(conf)
+    det = make_batch_detector(conf, train_ds.rois, trainer.model,
+                              packed_input=packed)
+    res_train, sel_train = test_kitti_3d(
+        train_ds, det, trainer.state.params, trainer.state.batch_stats, conf,
+        os.path.join(out, "results", "train_split", "data"),
+        gt_path=os.path.join(data_root, "kitti_split1", "training",
+                             "label_2"),
+        batch_size=conf.eval_batch_size, packed_input=packed)
+
+    report = {
+        "val_trajectory": trajectory,
+        "train_car_3d_r40": sel_train,
+        "train_car_bbox_r40": (res_train or {}).get("Car_bbox_R40"),
+        "val_best": trainer.best_metric,
+    }
+    print("CONVERGENCE_REPORT " + json.dumps(report, default=float))
+
+
+if __name__ == "__main__":
+    main()

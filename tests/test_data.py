@@ -150,3 +150,29 @@ def test_video_det_channel_stacking(synthetic_kitti, tiny_conf):
     # targets unaffected by extra channels
     assert s["target"]["labels"].shape[0] == \
         conf.anchors.shape[0] * conf.feat_size[0] * conf.feat_size[1]
+
+
+def test_eval_image_cache_exact_and_capped(synthetic_kitti, tiny_conf):
+    """The eval-phase decoded-sample cache returns identical samples and
+    respects its byte cap; the train phase never caches (augmentation is
+    stochastic)."""
+    conf = tiny_conf.replace(anchors=None, eval_image_cache_mb=64)
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
+    s1 = ds[0]
+    assert 0 in ds._cache
+    s2 = ds[0]
+    assert s2 is s1                       # cache hit, exact by construction
+    np.testing.assert_array_equal(s1["input"], s2["input"])
+
+    # tiny cap: first sample exceeds it after insertion, second not cached
+    conf2 = tiny_conf.replace(anchors=None, eval_image_cache_mb=1)
+    ds2 = Kitti3DDataset(conf2, synthetic_kitti, phase="validation")
+    ds2[0]
+    ds2[1]
+    assert len(ds2._cache) <= 1 or ds2._cache_bytes < ds2._cache_cap
+
+    # train phase: no caching
+    ds3 = Kitti3DDataset(tiny_conf.replace(anchors=None), synthetic_kitti,
+                         phase="train")
+    ds3[0]
+    assert ds3._cache_cap == 0 and not ds3._cache
