@@ -195,11 +195,14 @@ class ShapeAlign(nn.Module):
         f32 = jnp.float32
         acc_t = jnp.promote_types(x.dtype, f32)
 
+        # NOTE: no preferred_element_type here — the MXU accumulates convs
+        # in f32 regardless, and JAX's conv transpose rule (unlike
+        # dot_general's) rejects a widened output dtype against bf16
+        # operands when differentiated
         base = jax.lax.conv_general_dilated(
             x, w, (1, 1), [(pad, pad), (pad, pad)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=acc_t)
-        dense = sel.mask.astype(x.dtype) * base.astype(x.dtype) + bias
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dense = sel.mask.astype(x.dtype) * base + bias
 
         pos = sel.pos
         M = pos.shape[0]

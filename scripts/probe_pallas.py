@@ -63,12 +63,18 @@ def main():
                         jnp.bfloat16)
         b = jnp.asarray(rng.normal(size=(Cout,)), jnp.bfloat16)
         shape = f"[{B},{H},{W},{C}]->{Cout}"
+        # reduce to a scalar inside the jit: through the remote tunnel,
+        # block_until_ready on a large device array returned early in
+        # measurement (0.03 ms readings); a scalar sync is unambiguous
+        import jax as _jax
+        f_xla = _jax.jit(lambda *a: jnp.sum(
+            dcn_v2_shift(*a, clamp=1.0).astype(jnp.float32)))
+        f_pl = _jax.jit(lambda *a: jnp.sum(
+            dcn_v2_shift_pallas(*a, clamp=1.0).astype(jnp.float32)))
         t_xla = timeit(f"xla dcn_v2_shift   {shape}",
-                       lambda: dcn_v2_shift(x, off, m, w, b, clamp=1.0),
-                       args.iters)
+                       lambda: f_xla(x, off, m, w, b), args.iters)
         t_pl = timeit(f"pallas fused       {shape}",
-                      lambda: dcn_v2_shift_pallas(x, off, m, w, b, clamp=1.0),
-                      args.iters)
+                      lambda: f_pl(x, off, m, w, b), args.iters)
         print(f"  -> pallas/xla speedup: {t_xla / t_pl:.2f}x")
 
     if not args.in_model:

@@ -69,8 +69,13 @@ def main():
         os.path.abspath(__file__))))
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # private CPU-only compile cache: the shared /tmp/jax_cache also holds
+    # XLA:CPU AOT entries produced by the TPU-tunnel backend host (a
+    # different machine type — loading those here risks SIGILL, observed as
+    # cpu_aot_loader machine-feature mismatch errors)
     jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+                      os.environ.get("JAX_CACHE_DIR_MH",
+                                     "/tmp/jax_cache_cpu_mh"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                num_processes=nproc, process_id=pid)
@@ -83,6 +88,10 @@ def main():
     loss = run_train_step(conf, ds, batch8, mesh)
     with open(out_path, "w") as f:
         json.dump({"process": pid, "loss": loss}, f)
+    # explicit barrier before exit: without it, a straggler (cold compile
+    # under host contention) can miss the 5-min implicit shutdown barrier
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("multihost_runner_done")
 
 
 if __name__ == "__main__":

@@ -156,3 +156,40 @@ def test_full_model_sparse_eval_matches_dense(synthetic_kitti, tiny_conf):
     d_sparse = np.asarray(make_detector(conf_sparse, ds.rois, model_sparse)(
         p, bs, im, np.float32(1.0)))
     np.testing.assert_allclose(d_sparse, d_dense, rtol=1e-4, atol=1e-3)
+
+
+def test_sparse_train_on_2d_mesh_matches_dense(synthetic_kitti, tiny_conf):
+    """conf.sparse_align_train under GSPMD: the sparse path's cumsum/
+    searchsorted/scatter must partition correctly on a 2-D data x spatial
+    mesh and produce the same loss as the dense path."""
+    import jax
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.data.loader import TrainLoader
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from m3dssd_tpu.train.state import create_train_state, make_train_step
+
+    conf0 = tiny_conf.replace(anchors=None, warmup=0.0, shape_align=True,
+                              center_align=True, sparse_align_topm=0)
+    ds = Kitti3DDataset(conf0, synthetic_kitti, phase="train")
+    loader = TrainLoader(ds, batch_size=2, num_workers=2, seed=0)
+    batch = next(iter(loader.batches(1)))
+    batch4 = {k: np.concatenate([np.asarray(v)] * 2, axis=0)
+              for k, v in batch.items()}
+
+    def loss_with(conf):
+        model = build(conf)
+        state = create_train_state(conf, model, jax.random.PRNGKey(0),
+                                   max_iter=100)
+        step = make_train_step(conf, ds.rois)
+        mesh = make_mesh(8, spatial=2)
+        with mesh:
+            s = shard_batch(mesh, batch4)
+            st = replicate_state(mesh, state)
+            _, stats = step(st, s, jax.random.PRNGKey(1))
+        return float(stats["loss"])
+
+    loss_dense = loss_with(conf0)
+    loss_sparse = loss_with(conf0.replace(sparse_align_topm=512,
+                                          sparse_align_train=True))
+    np.testing.assert_allclose(loss_sparse, loss_dense, rtol=2e-4)
