@@ -25,17 +25,23 @@ from .. import geometry as geo
 
 
 class Compose:
+    """Chain of transforms. `rng` (optional) is threaded through to every
+    transform: a per-sample seeded generator makes augmentation
+    deterministic regardless of loader threading (the prefetch pool calls
+    __getitem__ concurrently — drawing from a shared/global rng there would
+    make batches depend on thread interleaving)."""
+
     def __init__(self, transforms):
         self.transforms = transforms
 
-    def __call__(self, img, imobj=None):
+    def __call__(self, img, imobj=None, rng=None):
         for t in self.transforms:
-            img, imobj = t(img, imobj)
+            img, imobj = t(img, imobj, rng=rng)
         return img, imobj
 
 
 class ConvertToFloat:
-    def __call__(self, image, imobj=None):
+    def __call__(self, image, imobj=None, rng=None):
         return image.astype(np.float32), imobj
 
 
@@ -46,7 +52,7 @@ class Normalize:
         self.mean = np.array(mean, dtype=np.float32)
         self.stds = np.array(stds, dtype=np.float32)
 
-    def __call__(self, image, imobj=None):
+    def __call__(self, image, imobj=None, rng=None):
         image = image.astype(np.float32) / 255.0
         reps = image.shape[2] // self.mean.shape[0]
         image -= np.tile(self.mean, reps)
@@ -60,7 +66,7 @@ class Padding:
     def __init__(self, size):
         self.size = size
 
-    def __call__(self, image, imobj=None):
+    def __call__(self, image, imobj=None, rng=None):
         h, w = image.shape[:2]
         padded = np.zeros((self.size[0], self.size[1], image.shape[2]),
                           dtype=image.dtype)
@@ -74,10 +80,11 @@ class Padding:
 class RandomMirror:
     def __init__(self, mirror_prob, rng=None):
         self.mirror_prob = mirror_prob
-        self.rng = rng or np.random
+        self.rng = rng if rng is not None else np.random
 
-    def __call__(self, image, imobj):
-        if self.rng.rand() > self.mirror_prob:
+    def __call__(self, image, imobj, rng=None):
+        rng = rng if rng is not None else self.rng
+        if rng.random() > self.mirror_prob:
             return image, imobj
         image = np.ascontiguousarray(image[:, ::-1, :])
         W = image.shape[1]
@@ -113,16 +120,19 @@ class RandomTransform:
         self.shift = shift
         self.scale = scale
         self.dst = (dst_w, dst_h)
-        self.rng = rng or np.random
+        self.rng = rng if rng is not None else np.random
 
-    def __call__(self, im, imobj=None):
-        rng = self.rng
-        if rng.rand() < self.distort_prob:
-            scale = float(np.clip(rng.randn() * self.scale, -self.scale, self.scale) + 1)
-            cx = im.shape[1] * (0.5 + float(np.clip(rng.randn() * self.shift,
-                                                    -2 * self.shift, 2 * self.shift)))
-            cy = im.shape[0] * (0.5 + float(np.clip(rng.randn() * self.shift,
-                                                    -2 * self.shift, 2 * self.shift)))
+    def __call__(self, im, imobj=None, rng=None):
+        rng = rng if rng is not None else self.rng
+        if rng.random() < self.distort_prob:
+            scale = float(np.clip(rng.standard_normal() * self.scale,
+                                  -self.scale, self.scale) + 1)
+            cx = im.shape[1] * (0.5 + float(np.clip(
+                rng.standard_normal() * self.shift,
+                -2 * self.shift, 2 * self.shift)))
+            cy = im.shape[0] * (0.5 + float(np.clip(
+                rng.standard_normal() * self.shift,
+                -2 * self.shift, 2 * self.shift)))
             aug = True
         else:
             scale, cx, cy, aug = 1.0, im.shape[1] * 0.5, im.shape[0] * 0.5, False
@@ -167,23 +177,23 @@ class PhotometricDistort:
 
     def __init__(self, distort_prob, rng=None):
         self.p = distort_prob
-        self.rng = rng or np.random
+        self.rng = rng if rng is not None else np.random
 
-    def __call__(self, image, imobj=None):
+    def __call__(self, image, imobj=None, rng=None):
         import cv2
-        rng = self.rng
+        rng = rng if rng is not None else self.rng
         image = image.copy()
-        if rng.rand() <= self.p:  # brightness
+        if rng.random() <= self.p:  # brightness
             image += rng.uniform(-32, 32)
-        if rng.rand() <= self.p:  # contrast
+        if rng.random() <= self.p:  # contrast
             image *= rng.uniform(0.5, 1.5)
         hsv = cv2.cvtColor(np.clip(image, 0, 255), cv2.COLOR_BGR2HSV)
-        if rng.rand() <= self.p:  # saturation
+        if rng.random() <= self.p:  # saturation
             hsv[:, :, 1] *= rng.uniform(0.5, 1.5)
-        if rng.rand() <= self.p:  # hue
+        if rng.random() <= self.p:  # hue
             hsv[:, :, 0] = (hsv[:, :, 0] + rng.uniform(-18, 18)) % 360.0
         image = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
-        if rng.rand() <= self.p:  # contrast (second chance)
+        if rng.random() <= self.p:  # contrast (second chance)
             image *= rng.uniform(0.5, 1.5)
         return image, imobj
 
@@ -203,8 +213,11 @@ class Augmentation:
         ]
         self.augment = Compose(steps)
 
-    def __call__(self, img, imobj):
-        return self.augment(img, imobj)
+    def __call__(self, img, imobj, rng=None):
+        """rng: optional per-sample np.random.Generator — the loader passes
+        one seeded by (loader seed, draw, slot) so batches are reproducible
+        under threaded prefetch."""
+        return self.augment(img, imobj, rng=rng)
 
 
 class Preprocess:
@@ -214,5 +227,6 @@ class Preprocess:
         self.preprocess = Compose([ConvertToFloat(), Padding(size),
                                    Normalize(mean, stds)])
 
-    def __call__(self, img, imobj=None):
+    def __call__(self, img, imobj=None, rng=None):
+        # deterministic — rng accepted for a uniform transform interface
         return self.preprocess(img, imobj)

@@ -225,9 +225,18 @@ class Kitti3DDataset:
         return np.concatenate(frames, axis=2)
 
     def __getitem__(self, index: int):
+        return self.sample(index)
+
+    def sample(self, index: int, rng=None):
         """Produce one sample: image [H,W,3] float32 (normalized, RGB) plus,
         for training, the precomputed target dict
-        (ref:lib/dataloader.py:924-982)."""
+        (ref:lib/dataloader.py:924-982).
+
+        `rng`: optional per-sample np.random.Generator for the train-phase
+        augmentations. The loader passes one seeded by (seed, draw, slot) so
+        batches are bit-reproducible no matter how the prefetch threads
+        interleave; without it the transforms fall back to the global
+        np.random (reference behavior, non-reproducible under threading)."""
         import copy
         from ..targets import build_targets
 
@@ -236,7 +245,7 @@ class Kitti3DDataset:
 
         im = self.read_image(index)
         imobj = copy.deepcopy(self.imdb[index])
-        im, imobj = self.transform(im, imobj)
+        im, imobj = self.transform(im, imobj, rng=rng)
         # BGR -> RGB per 3-channel group (ref:lib/dataloader.py:942-947)
         groups = [im[:, :, i:i + 3][:, :, ::-1] for i in range(0, im.shape[2], 3)]
         im = np.ascontiguousarray(np.concatenate(groups, axis=2))

@@ -78,7 +78,9 @@ class TrainLoader:
                  pack_s2d: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self._draws = 0     # monotone batch-draw counter for per-sample rngs
         self.weights = weights if weights is not None else balance_samples(
             dataset.conf, dataset.imdb)
         self.num_workers = num_workers
@@ -103,7 +105,15 @@ class TrainLoader:
                     if stop.is_set():
                         return
                     idx = self._sample_indices()
-                    samples = list(pool.map(self.dataset.__getitem__, idx))
+                    # per-sample seeded rngs: augmentation randomness is a
+                    # pure function of (seed, draw, slot), NOT of which
+                    # prefetch thread runs first — batches are reproducible
+                    draw = self._draws
+                    self._draws += 1
+                    args = [(int(i), np.random.default_rng(
+                        (self.seed, draw, s))) for s, i in enumerate(idx)]
+                    samples = list(pool.map(
+                        lambda a: self.dataset.sample(a[0], rng=a[1]), args))
                     batch = collate(samples)
                     if self.pack_s2d:
                         from ..models.dla import space_to_depth_np

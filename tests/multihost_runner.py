@@ -39,7 +39,14 @@ def build_case(data_root: str):
     return conf, ds, batch8
 
 
-def run_train_step(conf, ds, batch8, mesh):
+def run_train_step(conf, ds, batch8, mesh, barrier=None):
+    """One jitted train step on `mesh`. `barrier(name)` (multi-process
+    runs) is called between AOT compilation and execution: every NEW Gloo
+    communicator has a hard ~30 s key-value rendezvous deadline, so all
+    processes must START EXECUTING within 30 s of each other — compile
+    times are wildly asymmetric (compile-cache hits), execution is not.
+    The coordination-service barrier has a configurable timeout and does
+    not ride Gloo, so it is the right alignment primitive."""
     import jax
     from m3dssd_tpu.parallel import replicate_state, shard_batch
     from m3dssd_tpu.train.state import create_train_state, make_train_step
@@ -52,7 +59,11 @@ def run_train_step(conf, ds, batch8, mesh):
     with mesh:
         sharded = shard_batch(mesh, batch8)
         state_r = replicate_state(mesh, state)
-        _, stats = train_step(state_r, sharded, jax.random.PRNGKey(1))
+        rng = jax.random.PRNGKey(1)
+        compiled = train_step.lower(state_r, sharded, rng).compile()
+        if barrier is not None:
+            barrier("train_step_compiled")
+        _, stats = compiled(state_r, sharded, rng)
     return float(stats["loss"])
 
 
@@ -77,21 +88,45 @@ def main():
                       os.environ.get("JAX_CACHE_DIR_MH",
                                      "/tmp/jax_cache_cpu_mh"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Pin Gloo to loopback: by default it advertises the primary interface,
+    # which this sandbox intermittently blocks for local TCP — observed as
+    # "Gloo context initialization failed: Connect timeout / GetKeyValue()
+    # timed out". All processes of this simulation share one machine, so
+    # loopback is the correct transport.
+    from jax._src.lib import _jax as _jaxlib
+    _orig_gloo = _jaxlib.make_gloo_tcp_collectives
+    _jaxlib.make_gloo_tcp_collectives = (
+        lambda distributed_client, hostname=None, interface=None:
+        _orig_gloo(distributed_client=distributed_client,
+                   hostname="localhost", interface="lo"))
+    # generous liveness windows: on a saturated 1-core host the heartbeat
+    # threads of concurrently-compiling processes can starve past the 100 s
+    # default, and the coordinator then declares every task crashed
+    # ("tasks are unhealthy (stopped sending heartbeats)", observed)
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                               num_processes=nproc, process_id=pid)
+                               num_processes=nproc, process_id=pid,
+                               initialization_timeout=600,
+                               heartbeat_timeout_seconds=1200,
+                               shutdown_timeout_seconds=1200)
     assert jax.device_count() == 4 * nproc
     assert jax.local_device_count() == 4
+
+    from jax._src import distributed as _dist
+
+    def barrier(name, timeout_min=25):
+        # coordination-service barrier (NOT a Gloo collective): aligns the
+        # processes across arbitrarily skewed compile times
+        _dist.global_state.client.wait_at_barrier(name, timeout_min * 60000)
 
     from m3dssd_tpu.parallel import make_mesh
     conf, ds, batch8 = build_case(data_root)
     mesh = make_mesh(4 * nproc)
-    loss = run_train_step(conf, ds, batch8, mesh)
+    loss = run_train_step(conf, ds, batch8, mesh, barrier=barrier)
     with open(out_path, "w") as f:
         json.dump({"process": pid, "loss": loss}, f)
-    # explicit barrier before exit: without it, a straggler (cold compile
-    # under host contention) can miss the 5-min implicit shutdown barrier
-    from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices("multihost_runner_done")
+    # align exits: a straggler would otherwise miss the 5-min implicit
+    # shutdown barrier
+    barrier("multihost_runner_done")
 
 
 if __name__ == "__main__":

@@ -39,9 +39,13 @@ def test_two_process_train_step_matches_single_process(synthetic_kitti,
          outs[i]],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
-    logs = [p.communicate(timeout=1200)[0].decode() for p in procs]
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"runner failed:\n{log[-4000:]}"
+    logs = [p.communicate(timeout=1800)[0].decode() for p in procs]
+    if any(p.returncode != 0 for p in procs):
+        # show BOTH logs: with jax.distributed, the process that reports
+        # the error is usually reacting to the OTHER process dying
+        blob = "\n".join(f"--- proc {i} rc={p.returncode} ---\n{log[-3000:]}"
+                         for i, (p, log) in enumerate(zip(procs, logs)))
+        raise AssertionError(f"runner failed:\n{blob}")
 
     losses = []
     for o in outs:
