@@ -20,9 +20,14 @@ def main():
     p.add_argument("--torch_weights", default=None,
                    help="reference-format .pth/.pkl checkpoint to evaluate "
                         "(parity mode: forces the exact gather-path DCN)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (JAX_PLATFORMS is ignored "
+                        "when a TPU plugin is registered)")
     args = p.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from m3dssd_tpu.config import Config
     from m3dssd_tpu.data.kitti import Kitti3DDataset
     from m3dssd_tpu.anchors import locate_anchors

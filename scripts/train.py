@@ -35,8 +35,15 @@ def main():
                         " before backend init (same SPMD code then spans "
                         "hosts over DCN; coordinator/process env vars per "
                         "the JAX multi-process docs)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (JAX_PLATFORMS is ignored "
+                        "when a TPU plugin is registered; this sets "
+                        "jax.config before backend init)")
     args = p.parse_args()
 
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.distributed:
         # must run before any JAX backend use; single-host behavior is
         # unchanged when the flag is absent (SURVEY §2.9: the DataParallel

@@ -277,3 +277,32 @@ def test_packed_input_matches_raw():
         np.testing.assert_allclose(np.asarray(out_raw[k]),
                                    np.asarray(out_pk[k]),
                                    rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_bias_background_sparsifies_confidence(synthetic_kitti, tiny_conf):
+    """models/rpn.py:bias_background raises P(bg): fg_prob drops below the
+    alignment threshold almost everywhere (the deployment regime bench.py
+    emulates), and the params tree shape/dtype is unchanged."""
+    import jax
+    import jax.numpy as jnp
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.models.rpn import bias_background
+
+    conf = tiny_conf.replace(anchors=None)
+    Kitti3DDataset(conf, synthetic_kitti, phase="train")  # injects anchors
+    model = build(conf)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 128, 3), jnp.float32), train=False)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 64, 128, 3)).astype(np.float32))
+
+    out0 = model.apply(v, x, train=False)
+    p2 = bias_background(v["params"], conf.num_classes, 4.0)
+    out1 = model.apply({"params": p2, "batch_stats": v["batch_stats"]},
+                       x, train=False)
+    fg0 = 1.0 - np.asarray(out0["prob"])[..., 0]
+    fg1 = 1.0 - np.asarray(out1["prob"])[..., 0]
+    assert (fg1 > 0.5).mean() < 0.01 < (fg0 > 0.5).mean()
+    assert jax.tree_util.tree_structure(p2) == \
+        jax.tree_util.tree_structure(v["params"])
