@@ -58,6 +58,11 @@ class Config:
     lr_policy: str = "cos"            # cos | poly | step
     lr_steps: Optional[List[float]] = None
     lr_target: float = 0.004 * 1e-5
+    # optional global-norm gradient clipping (None = off, matching the
+    # reference, which only clamps the CE loss elementwise — rpn_loss.py).
+    # A stability knob for from-scratch/bf16 runs: one bad batch early in
+    # training (before BN settles) can otherwise blow up the 3D regression.
+    grad_clip_norm: Optional[float] = None
 
     # gradient accumulation: apply optimizer update every `batch_skip` steps
     # (ref:lib/core.py:116, scripts/train_rpn_3d.py:216-218)
@@ -163,6 +168,10 @@ class Config:
     bbox_3d_proj_lambda: float = 0.0
     bbox_3d_iou_lambda: float = 0.0
     pre_compute_target: bool = True
+    # padded gt capacity per image for the on-device target path
+    # (pre_compute_target=False; ops/targets_device.py). KITTI maxes out
+    # around ~25 labels/image incl. DontCare.
+    max_gts: int = 32
 
     hill_climbing: bool = True
     bins: int = 32

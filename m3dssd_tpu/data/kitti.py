@@ -256,7 +256,15 @@ class Kitti3DDataset:
                            "scale_factor": imobj.get("scale_factor", 1.0),
                            "id": imobj.id}}
         if self.phase == "train":
-            sample["target"] = build_targets(self.conf, imobj, rois=self._rois)
+            if self.conf.pre_compute_target:
+                sample["target"] = build_targets(self.conf, imobj,
+                                                 rois=self._rois)
+            else:
+                # on-device target path: ship only padded gts with the batch
+                # (targets are assigned inside the jitted train step —
+                # targets.build_gt_arrays / ops/targets_device.py)
+                from ..targets import build_gt_arrays
+                sample["gt"] = build_gt_arrays(self.conf, imobj)
         elif self._cache_cap and self._cache_bytes < self._cache_cap:
             self._cache[index] = sample
             self._cache_bytes += sample["input"].nbytes

@@ -61,6 +61,10 @@ def collate(samples) -> Dict[str, np.ndarray]:
         # device; the host transpose here is trivial)
         for k in ("bbox_2d", "bbox_3d"):
             batch[k] = np.ascontiguousarray(batch[k].transpose(0, 2, 1))
+    elif "gt" in samples[0]:
+        # on-device target path (pre_compute_target=False): padded gts only
+        for k in samples[0]["gt"]:
+            batch[k] = np.stack([s["gt"][k] for s in samples], axis=0)
     # camera matrices travel with the batch (needed by the 3D-projection /
     # rotated-IoU loss capabilities)
     if "meta" in samples[0] and "p2_inv" in samples[0]["meta"]:
@@ -75,7 +79,7 @@ class TrainLoader:
     def __init__(self, dataset, batch_size: int, num_workers: int = 8,
                  seed: int = 0, prefetch: int = 4,
                  weights: Optional[np.ndarray] = None,
-                 pack_s2d: bool = False):
+                 pack_s2d: bool = False, upload_bf16: Optional[bool] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -88,6 +92,21 @@ class TrainLoader:
         # pack_s2d: space-to-depth pack images host-side (free exact
         # relayout; saves the device-side pack copy — models/dla.py)
         self.pack_s2d = pack_s2d
+        # bf16 image upload for bf16-compute models: exactly
+        # compute-identical (the model casts its input to bf16 anyway) and
+        # halves the host->device image bytes — the same trick the eval
+        # driver uses (inference/test_driver.py). Default: on iff the
+        # model computes in bf16.
+        if upload_bf16 is None:
+            upload_bf16 = getattr(dataset.conf, "compute_dtype",
+                                  "float32") == "bfloat16"
+        self.upload_bf16 = upload_bf16
+        # to_device: jax.device_put each batch from the PRODUCER thread so
+        # the host->device transfer overlaps the previous device step (the
+        # main thread would otherwise upload synchronously at dispatch
+        # time). Leave False under a mesh — shard_batch does its own
+        # placement. The trainer flips this on for single-device runs.
+        self.to_device = False
         self.steps_per_epoch = max(1, len(dataset) // batch_size)
 
     def _sample_indices(self) -> np.ndarray:
@@ -118,6 +137,13 @@ class TrainLoader:
                     if self.pack_s2d:
                         from ..models.dla import space_to_depth_np
                         batch["images"] = space_to_depth_np(batch["images"])
+                    if self.upload_bf16:
+                        import ml_dtypes
+                        batch["images"] = batch["images"].astype(
+                            ml_dtypes.bfloat16)
+                    if self.to_device:
+                        import jax
+                        batch = jax.device_put(batch)
                     q.put(batch)
             q.put(None)
 

@@ -88,6 +88,8 @@ def compute_targets_device(rois, anchors, bbox_means, bbox_stds,
     Returns the same dict keys as targets.build_targets (whitened targets).
     """
     rois = jnp.asarray(rois, jnp.float32)
+    gt_valid = jnp.asarray(gt_valid).astype(bool)     # loader ships int8
+    ign_valid = jnp.asarray(ign_valid).astype(bool)
     N = rois.shape[0]
     tracker = rois[:, 4].astype(jnp.int32)
     anchors3d = jnp.asarray(anchors, jnp.float32)[tracker][:, 4:9]
@@ -141,8 +143,15 @@ def compute_targets_device(rois, anchors, bbox_means, bbox_stds,
     }
 
 
-def make_device_target_fn(conf, rois):
-    """Batched, jitted target assignment closure for the train step."""
+def make_device_target_fn(conf, rois, jit_wrap: bool = True):
+    """Batched target-assignment closure for the train step.
+
+    `jit_wrap=False` returns the raw (traceable) function for inlining into
+    an enclosing jit — the production train step
+    (train/state.py:make_train_step under `pre_compute_target=False`) calls
+    it inside the jitted update, so assignment fuses with the step and only
+    the padded gts (targets.build_gt_arrays) travel host->device.
+    """
     import numpy as np
 
     kw = dict(fg_thresh=conf.fg_thresh, ign_thresh=conf.ign_thresh,
@@ -153,10 +162,9 @@ def make_device_target_fn(conf, rois):
     means_c = jnp.asarray(np.asarray(conf.bbox_means), jnp.float32)
     stds_c = jnp.asarray(np.asarray(conf.bbox_stds), jnp.float32)
 
-    @jax.jit
     def fn(gt_boxes2d, gt_boxes3d, gt_cls, gt_valid, ign_boxes, ign_valid):
         return jax.vmap(lambda a, b, c, d, e, f: compute_targets_device(
             rois_c, anchors_c, means_c, stds_c, a, b, c, d, e, f, **kw))(
             gt_boxes2d, gt_boxes3d, gt_cls, gt_valid, ign_boxes, ign_valid)
 
-    return fn
+    return jax.jit(fn) if jit_wrap else fn

@@ -58,6 +58,44 @@ def image_gt_arrays(conf, imobj, scale_factor=1.0, max_gt_h=None):
     return gts_val, gts_ign, gts_3d, box_lbls
 
 
+def build_gt_arrays(conf, imobj, g_max: Optional[int] = None
+                    ) -> Dict[str, np.ndarray]:
+    """Padded per-image gt arrays for the ON-DEVICE target path.
+
+    The legacy reference path (`pre_compute_target=False`,
+    ref:lib/loss/rpn_3d.py:14-657) re-derives anchor targets per batch on
+    the CPU; the TPU-native equivalent ships only the (tiny, padded) ground
+    truths with the batch and assigns targets inside the jitted train step
+    (`ops/targets_device.py`) — ~135 ms/image of host work and ~15 MB/image
+    of dense target upload collapse to ~1 KB of gts.
+
+    Returns gt_boxes2d [G,4] f32 (xyxy), gt_boxes3d [G,11] f32, gt_cls [G]
+    i32 (1-based), gt_valid [G] i8, ign_boxes [G,4] f32, ign_valid [G] i8,
+    truncated to `g_max` (conf.max_gts) valid/ignore boxes each.
+    """
+    G = int(conf.max_gts if g_max is None else g_max)
+    gts_val, gts_ign, gts_3d, box_lbls = image_gt_arrays(conf, imobj)
+    out = {
+        "gt_boxes2d": np.zeros([G, 4], np.float32),
+        "gt_boxes3d": np.zeros([G, 11], np.float32),
+        "gt_cls": np.zeros([G], np.int32),
+        "gt_valid": np.zeros([G], np.int8),
+        "ign_boxes": np.zeros([G, 4], np.float32),
+        "ign_valid": np.zeros([G], np.int8),
+    }
+    nv = min(gts_val.shape[0], G)
+    if nv:
+        out["gt_boxes2d"][:nv] = gts_val[:nv]
+        out["gt_boxes3d"][:nv] = gts_3d[:nv]
+        out["gt_cls"][:nv] = box_lbls[:nv]
+        out["gt_valid"][:nv] = 1
+    ni = min(gts_ign.shape[0], G)
+    if ni:
+        out["ign_boxes"][:ni] = gts_ign[:ni]
+        out["ign_valid"][:ni] = 1
+    return out
+
+
 def compute_targets(gts_val, gts_ign, box_lbls, rois, fg_thresh, ign_thresh,
                     bg_thresh_lo, bg_thresh_hi, best_thresh,
                     gts_3d: Optional[np.ndarray] = None, anchors=None, tracker=None):

@@ -39,15 +39,21 @@ def make_optimizer(conf, max_iter: int,
     (ref:lib/core.py:116, scripts/train_rpn_3d.py:216-218)."""
     sched = make_lr_schedule(conf, max_iter)
     solver = conf.solver_type.lower()
+    clip = []
+    if getattr(conf, "grad_clip_norm", None):
+        clip = [optax.clip_by_global_norm(conf.grad_clip_norm)]
     if solver == "sgd":
         tx = optax.chain(
+            *clip,
             optax.add_decayed_weights(conf.weight_decay),
             optax.sgd(sched, momentum=conf.momentum))
     elif solver == "adam":
-        tx = optax.chain(optax.add_decayed_weights(conf.weight_decay),
+        tx = optax.chain(*clip,
+                         optax.add_decayed_weights(conf.weight_decay),
                          optax.adam(sched))
     elif solver == "adamax":
-        tx = optax.chain(optax.add_decayed_weights(conf.weight_decay),
+        tx = optax.chain(*clip,
+                         optax.add_decayed_weights(conf.weight_decay),
                          optax.adamax(sched))
     else:
         raise ValueError(f"solver {conf.solver_type} not supported")
@@ -132,15 +138,32 @@ def make_train_step(conf, rois: np.ndarray, packed_input: bool = False):
     stds_c = jnp.asarray(conf.bbox_stds, jnp.float32)
     bs_trainable = freeze_mask_fn(conf)   # path predicate, or None
 
+    # on-device target assignment (pre_compute_target=False,
+    # ref:lib/loss/rpn_3d.py:14-657 legacy path): the batch carries padded
+    # gts (targets.build_gt_arrays) instead of dense [B,N] targets; the
+    # assignment runs inside this jit and fuses with the step
+    target_fn = None
+    if not conf.pre_compute_target:
+        from ..ops.targets_device import make_device_target_fn
+        target_fn = make_device_target_fn(conf, rois, jit_wrap=False)
+
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if target_fn is not None:
+            batch_t = dict(batch)
+            batch_t.update(target_fn(
+                batch["gt_boxes2d"], batch["gt_boxes3d"], batch["gt_cls"],
+                batch["gt_valid"], batch["ign_boxes"], batch["ign_valid"]))
+        else:
+            batch_t = batch
+
         def loss_fn(params):
             outputs, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["images"], train=True, packed=packed_input,
                 mutable=["batch_stats"])
-            loss, stats = rpn_3d_loss(outputs, batch, rois_c, anchors_c,
+            loss, stats = rpn_3d_loss(outputs, batch_t, rois_c, anchors_c,
                                       means_c, stds_c, loss_cfg, rng)
             return loss, (stats, mutated["batch_stats"])
 

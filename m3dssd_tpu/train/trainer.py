@@ -100,6 +100,10 @@ class Trainer:
             self.mesh = make_mesh(n)
             self.state = replicate_state(self.mesh, self.state)
             logging.info("data-parallel mesh over %d devices", n)
+        else:
+            # single device: upload batches from the prefetch thread so the
+            # transfer overlaps the running step (see TrainLoader.to_device)
+            self.loader.to_device = True
 
         self.best_metric = -1.0
         self.val_dataset = None

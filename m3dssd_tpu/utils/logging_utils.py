@@ -61,18 +61,24 @@ class StatTracker:
     """Accumulate named scalars; flush means every display interval."""
 
     def __init__(self, writer=None, prefix: str = "Train"):
-        self.sums: Dict[str, float] = defaultdict(float)
+        # raw (possibly device-resident) values; float() conversion is
+        # deferred to flush time — calling float(v) on a jitted step's
+        # output every iteration would BLOCK on that step and serialize
+        # upload/compute (no async-dispatch pipelining). One sync per
+        # display interval instead of one per step.
+        self.vals: Dict[str, list] = defaultdict(list)
         self.counts: Dict[str, int] = defaultdict(int)
         self.writer = writer
         self.prefix = prefix
 
     def update(self, stats: Dict[str, float]):
         for k, v in stats.items():
-            self.sums[k] += float(v)
+            self.vals[k].append(v)
             self.counts[k] += 1
 
     def means(self) -> Dict[str, float]:
-        return {k: self.sums[k] / max(self.counts[k], 1) for k in self.sums}
+        return {k: float(sum(float(v) for v in vs)) / max(len(vs), 1)
+                for k, vs in self.vals.items()}
 
     def flush(self, step: int, extra: str = "") -> str:
         means = self.means()
@@ -82,6 +88,6 @@ class StatTracker:
         if self.writer is not None:
             for k, v in means.items():
                 self.writer.add_scalar(f"{self.prefix}/{k}", v, step)
-        self.sums.clear()
+        self.vals.clear()
         self.counts.clear()
         return msg

@@ -31,6 +31,14 @@ def main():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--backbone", default="dla34")
     p.add_argument("--crop", type=int, nargs=2, default=[384, 1280])
+    p.add_argument("--host_targets", action="store_true",
+                   help="precompute targets on the host (the parity-default "
+                        "path; ~135 ms/image of host work + a dense [B,N] "
+                        "target upload per step — the device-target path is "
+                        "exact-equality tested and much faster on a "
+                        "slow-host setup)")
+    p.add_argument("--grad_clip", type=float, default=5.0,
+                   help="global-norm gradient clip (0 = off)")
     args = p.parse_args()
 
     from m3dssd_tpu.config import load_config
@@ -50,7 +58,9 @@ def main():
         crop_size=list(args.crop), test_scale=list(args.crop),
         pre_train=False, max_epoch=args.epochs, eval_epoch=args.eval_epoch,
         snapshot_epoch=max(args.epochs // 4, 1), display_iter=20,
-        num_workers=4, score_thres=0.3)
+        num_workers=4, score_thres=0.3,
+        pre_compute_target=args.host_targets,
+        grad_clip_norm=args.grad_clip or None)
     assert conf.compute_dtype == "bfloat16" and conf.stem_s2d \
         and conf.dcn_shift_clamp is not None, "fast paths must be ON"
 

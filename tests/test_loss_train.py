@@ -355,3 +355,42 @@ def test_train_step_on_2d_data_spatial_mesh(tiny_train_setup):
         _, stats_2d = train_step(st, s, jax.random.PRNGKey(1))
     loss_2d = float(stats_2d["loss"])
     np.testing.assert_allclose(loss_2d, loss_dp, rtol=1e-4)
+
+
+def test_device_target_train_step_matches_host(synthetic_kitti, tiny_conf):
+    """pre_compute_target=False: the train step assigns targets on-device
+    from padded gts (targets.build_gt_arrays -> ops/targets_device.py inside
+    the jit) and must produce the same loss/stats/update as the host
+    precomputed-target path on an identical augmented batch."""
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.data.loader import TrainLoader
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.train.state import create_train_state, make_train_step
+
+    conf_h = tiny_conf.replace(anchors=None)
+    ds_h = Kitti3DDataset(conf_h, synthetic_kitti, phase="train")
+    conf_d = conf_h.replace(pre_compute_target=False)
+    ds_d = Kitti3DDataset(conf_d, synthetic_kitti, phase="train")
+
+    # same seed => bit-identical augmented images from both loaders
+    batch_h = next(TrainLoader(ds_h, 2, num_workers=2, seed=5).batches(1))
+    batch_d = next(TrainLoader(ds_d, 2, num_workers=2, seed=5).batches(1))
+    np.testing.assert_array_equal(batch_h["images"], batch_d["images"])
+    assert "labels" not in batch_d and "gt_boxes2d" in batch_d
+
+    model = build(conf_h)
+    state = create_train_state(conf_h, model, jax.random.PRNGKey(0), 10)
+    step_h = make_train_step(conf_h, ds_h.rois)
+    step_d = make_train_step(conf_d, ds_d.rois)
+    rng = jax.random.PRNGKey(1)
+    s_h, st_h = step_h(state, batch_h, rng)
+    s_d, st_d = step_d(state, batch_d, rng)
+
+    for k in st_h:
+        np.testing.assert_allclose(np.asarray(st_h[k]), np.asarray(st_d[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    ph = jax.tree_util.tree_leaves(s_h.params)
+    pd = jax.tree_util.tree_leaves(s_d.params)
+    for a, b in zip(ph, pd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
