@@ -120,12 +120,22 @@ def main():
           f"({1e3 * step:.1f} ms/step){mfu_line}",
           file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "images_per_sec_per_chip",
         "value": round(ipsB, 3),
         "unit": "im/s",
+        # vs_baseline is value / ASSUMED_REF_IMAGES_PER_SEC — the reference
+        # publishes no speed numbers (BASELINE.md), so the denominator is an
+        # assumption; the absolute value + mfu are the honest headline.
         "vs_baseline": round(ipsB / ASSUMED_REF_IMAGES_PER_SEC, 3),
-    }))
+        "baseline_assumed": True,
+        "bs1_latency_ms": round(1e3 * lat, 2),
+    }
+    try:
+        out["mfu_pct"] = round(100 * mfu, 2)
+    except NameError:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -43,6 +43,21 @@ class Config:
     sparse_align_topm: int = 1024
     sparse_align_train: bool = False
 
+    # rematerialization knobs (train-step HBM-traffic probes; exact math —
+    # they only change what XLA saves for the backward pass):
+    #   remat_dcn    — jax.checkpoint around each neck shift-DCN: recompute
+    #                  the 9 per-tap column tensors in backward instead of
+    #                  saving ~9x[B,H,W,C] per layer
+    #   remat_towers — flax remat around each head tower (recompute the two
+    #                  256-wide hidden activations per tower in backward)
+    remat_dcn: bool = False
+    remat_towers: bool = False
+    # skip the logging-only per-step loss stats (class-accuracy argmax +
+    # the two full 3D decodes behind err_z/err_ry). Training math is
+    # identical; default False = reference stats protocol
+    # (ref:lib/loss/rpn_3d.py:1099-1105 computes them every iteration).
+    loss_light_stats: bool = False
+
     # ----------------------------------------------------------------- solver
     solver_type: str = "sgd"          # sgd | adam | adamax
     lr: float = 0.004

@@ -50,6 +50,11 @@ class RPNLossConfig:
     bbox_3d_lambda: float = 1.0
     bbox_3d_proj_lambda: float = 0.0
     bbox_3d_iou_lambda: float = 0.0
+    # skip the logging-only stats (acc_fg/acc_bg argmax pass + the two full
+    # 3D decodes behind err_z/err_ry) — training math identical, the stats
+    # dict just omits those keys. The reference computes them every
+    # iteration (ref:lib/loss/rpn_3d.py:1099-1105), so the default matches.
+    light_stats: bool = False
 
     @staticmethod
     def from_conf(conf) -> "RPNLossConfig":
@@ -60,7 +65,8 @@ class RPNLossConfig:
             bbox_2d_lambda=conf.bbox_2d_lambda,
             bbox_3d_lambda=conf.bbox_3d_lambda,
             bbox_3d_proj_lambda=conf.bbox_3d_proj_lambda,
-            bbox_3d_iou_lambda=conf.bbox_3d_iou_lambda)
+            bbox_3d_iou_lambda=conf.bbox_3d_iou_lambda,
+            light_stats=bool(getattr(conf, "loss_light_stats", False)))
 
 
 def _rank_select(score, pool_mask, budget, key):
@@ -77,36 +83,44 @@ def _rank_select(score, pool_mask, budget, key):
 
 
 def _rank_select_pools(score, pools, budgets):
-    """`_rank_select` for several pools sharing one score: ONE stable sort.
+    """`_rank_select` for several pools sharing one score: ONE two-operand sort.
 
     A stable ascending sort restricted to a pool's members preserves their
     relative order, so per-pool ranks are cumsums of pool membership in the
     globally sorted order — identical masks to per-pool `_rank_select`, at
     one `lax.sort` instead of two argsorts per pool (each ~6.6 ms at
-    [4, 506880]). Scatter back through flat indices (the batched scatter
-    form is slow — see ops/dcn.py:bilinear_sample).
+    [4, 506880]). The sort carries exactly TWO operands (the f32 score key
+    + all pool flags bit-packed into one int32): sort cost scales with the
+    bytes moved per pass, and the earlier 4-operand form (per-pool flags +
+    an iota payload for tie-breaking) measured ~10.8 ms/step at [4, 506880].
+    The iota payload is replaced by an original-order cumsum: stability
+    means the selected tied-at-threshold members are exactly the FIRST
+    (budget - #strictly-below) ties in original index order. No scatter
+    back to original order either (a [B*N] bool scatter measured ~11 ms).
 
     score [B,N]; pools: list of [B,N] bool; budgets: list of [B] int.
     """
-    B, N = score.shape
-    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
-    ops = [score] + [p.astype(jnp.int32) for p in pools] + [iota]
-    sorted_ops = jax.lax.sort(ops, dimension=1, is_stable=True, num_keys=1)
-    s_sorted, sidx = sorted_ops[0], sorted_ops[-1]
+    flags = sum((p.astype(jnp.int32) << i) for i, p in enumerate(pools))
+    s_sorted, f_sorted = jax.lax.sort([score, flags], dimension=1,
+                                      is_stable=True, num_keys=1)
     keeps = []
-    for pool, p_sorted, budget in zip(pools, sorted_ops[1:-1], budgets):
-        # last selected member = the pool member with in-pool rank b-1
-        # (b = min(budget, pool size)); select everything lexicographically
-        # <= its (score, index) sort key — no scatter back to original order
-        # (a [B*N] bool scatter measured ~11 ms at [4, 506880])
+    for i, (pool, budget) in enumerate(zip(pools, budgets)):
+        p_sorted = (f_sorted >> i) & 1
+        # threshold score s_t = score of the pool member at in-pool rank
+        # b_eff-1 (b_eff = min(budget, pool size)) in the sorted order
         rank = jnp.cumsum(p_sorted, axis=1) - 1
         b_eff = jnp.minimum(budget, rank[:, -1] + 1)          # [B]
         at_last = (p_sorted > 0) & (rank == b_eff[:, None] - 1)
         j = jnp.argmax(at_last, axis=1)                       # [B]
         s_t = jnp.take_along_axis(s_sorted, j[:, None], axis=1)
-        i_t = jnp.take_along_axis(sidx, j[:, None], axis=1)
-        keep = pool & ((score < s_t) |
-                       ((score == s_t) & (iota <= i_t)))
+        # keep: strictly below the threshold, plus the first
+        # (b_eff - #below) score==s_t ties in original order (== what the
+        # stable sort selects)
+        below = pool & (score < s_t)
+        ties = pool & (score == s_t)
+        n_below = jnp.sum(below, axis=1, keepdims=True)
+        tie_rank = jnp.cumsum(ties.astype(jnp.int32), axis=1)
+        keep = below | (ties & (tie_rank <= b_eff[:, None] - n_below))
         keeps.append(keep & (b_eff > 0)[:, None])
     return keeps
 
@@ -208,13 +222,14 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
         stats["loss_cls"] = loss_cls
 
     # accuracy stats over *all* labeled anchors (ref::1099-1105)
-    cls_pred = jnp.argmax(cls, axis=-1)
-    lab_fg_all = (labels > 0) & (labels != IGN_FLAG)
-    lab_bg_all = labels == 0
-    stats["acc_fg"] = masked_mean((cls_pred == labels).astype(jnp.float32),
-                                  lab_fg_all)
-    stats["acc_bg"] = masked_mean((cls_pred == 0).astype(jnp.float32),
-                                  lab_bg_all)
+    if not cfg.light_stats:
+        cls_pred = jnp.argmax(cls, axis=-1)
+        lab_fg_all = (labels > 0) & (labels != IGN_FLAG)
+        lab_bg_all = labels == 0
+        stats["acc_fg"] = masked_mean(
+            (cls_pred == labels).astype(jnp.float32), lab_fg_all)
+        stats["acc_bg"] = masked_mean(
+            (cls_pred == 0).astype(jnp.float32), lab_bg_all)
 
     # --------------------------------------------------------- 3D bbox loss
     # bbox tensors are channel-major [B, P, N] (lane-friendly; see PERF.md)
@@ -255,16 +270,21 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
         stats["loss_iou"] = loss_iou
 
     # --------------------------------------------- z / rotation error stats
-    tracker = rois[:, 4].astype(jnp.int32)
-    src3d_t = anchors[tracker][:, 4:9].T             # [5, N]
-    dec = decode_bbox_3d_t(rois_t, bbox_3d, src3d_t, means, stds)
-    dec_tar = decode_bbox_3d_t(rois_t,
-                               batch["bbox_3d"].astype(jnp.float32),
-                               src3d_t, means, stds)
-    stats["err_z"] = masked_mean(jnp.abs(dec[:, 2] - dec_tar[:, 2]),
-                                 bbox_weights)
-    stats["err_ry"] = masked_mean(jnp.abs(dec[:, 6] - dec_tar[:, 6]),
-                                  bbox_weights)
+    # (the decode is also the input of the proj/3D-IoU loss branches below)
+    need_decode = (not cfg.light_stats or cfg.bbox_3d_proj_lambda
+                   or cfg.bbox_3d_iou_lambda)
+    if need_decode:
+        tracker = rois[:, 4].astype(jnp.int32)
+        src3d_t = anchors[tracker][:, 4:9].T             # [5, N]
+        dec = decode_bbox_3d_t(rois_t, bbox_3d, src3d_t, means, stds)
+        dec_tar = decode_bbox_3d_t(rois_t,
+                                   batch["bbox_3d"].astype(jnp.float32),
+                                   src3d_t, means, stds)
+    if not cfg.light_stats:
+        stats["err_z"] = masked_mean(jnp.abs(dec[:, 2] - dec_tar[:, 2]),
+                                     bbox_weights)
+        stats["err_ry"] = masked_mean(jnp.abs(dec[:, 6] - dec_tar[:, 6]),
+                                      bbox_weights)
 
     # ------------------------- 3D projection / rotated-IoU loss capabilities
     # (ref:lib/loss/rpn_3d.py:606-630 bbox_3d_proj branch; the 3D-IoU lambda

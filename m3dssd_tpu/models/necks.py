@@ -8,8 +8,10 @@ with learned offsets) when `ida_dcnv2` is on, plain 3x3 otherwise
 
 from __future__ import annotations
 
+import functools
 from typing import Any, List, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -40,6 +42,7 @@ class DCN(nn.Module):
     stride: int = 1
     dilation: int = 1
     shift_clamp: Any = 1.0
+    remat: bool = False   # jax.checkpoint around the shift-DCN (config.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -69,9 +72,12 @@ class DCN(nn.Module):
             # around it (backbone conv time tripled; end-to-end detect
             # 13.9 -> 18.9 ms measured) — so the XLA form stays. The kernel
             # is kept + parity-tested for future XLA/Mosaic versions.
-            return dcn_v2_shift(x, offset, mask, weight.astype(x.dtype),
-                                bias.astype(x.dtype),
-                                clamp=float(self.shift_clamp))
+            fn = functools.partial(dcn_v2_shift,
+                                   clamp=float(self.shift_clamp))
+            if self.remat:
+                fn = jax.checkpoint(fn)
+            return fn(x, offset, mask, weight.astype(x.dtype),
+                      bias.astype(x.dtype))
         return dcn_v2(x, offset, mask, weight.astype(x.dtype),
                       bias.astype(x.dtype), stride=self.stride,
                       padding=self.dilation * (K - 1) // 2,
@@ -82,12 +88,13 @@ class DeformConv(nn.Module):
     """DCN -> BN -> LeakyReLU (ref:model/pose_dla_dcn.py:471-485)."""
     features: int
     shift_clamp: Any = 1.0
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = DCN(self.features, 3, shift_clamp=self.shift_clamp,
-                dtype=self.dtype)(x)
+                remat=self.remat, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          dtype=self.dtype)(x)
         return leaky_relu(x)
@@ -190,12 +197,13 @@ class IDAUp(nn.Module):
     up_factors: Sequence[int]   # per level, relative to the first
     use_dcn: bool = True
     shift_clamp: Any = 1.0
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         if self.use_dcn:
             conv = lambda f, dtype: DeformConv(f, shift_clamp=self.shift_clamp,
-                                               dtype=dtype)
+                                               remat=self.remat, dtype=dtype)
         else:
             conv = PlainConv
         n = len(self.up_factors)
@@ -221,6 +229,7 @@ class DLAUp(nn.Module):
     channels: Sequence[int]       # channels of levels [first_level:]
     use_dcn: bool = True
     shift_clamp: Any = 1.0
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -234,6 +243,7 @@ class DLAUp(nn.Module):
                               [s // scales[j] for s in scales[j:]],
                               use_dcn=self.use_dcn,
                               shift_clamp=self.shift_clamp,
+                              remat=self.remat,
                               dtype=self.dtype))
             scales[j + 1:] = [scales[j]] * len(scales[j + 1:])
             in_ch[j + 1:] = [ch[j]] * len(in_ch[j + 1:])
@@ -257,6 +267,7 @@ class DLASeg(nn.Module):
     last_level: int = 5
     use_dcn: bool = True
     shift_clamp: Any = 1.0
+    remat: bool = False
     stem_s2d: bool = True
     dtype: Any = jnp.float32
 
@@ -267,12 +278,14 @@ class DLASeg(nn.Module):
         self.first_level = int(np.log2(self.down_ratio))
         self.out_channels = channels[self.first_level]
         self.dla_up = DLAUp(channels[self.first_level:], use_dcn=self.use_dcn,
-                            shift_clamp=self.shift_clamp, dtype=self.dtype)
+                            shift_clamp=self.shift_clamp, remat=self.remat,
+                            dtype=self.dtype)
         n_final = self.last_level - self.first_level
         self.ida_up = IDAUp(self.out_channels,
                             [2 ** i for i in range(n_final)],
                             use_dcn=self.use_dcn,
-                            shift_clamp=self.shift_clamp, dtype=self.dtype)
+                            shift_clamp=self.shift_clamp, remat=self.remat,
+                            dtype=self.dtype)
 
     def __call__(self, x, train: bool = True, packed: bool = False):
         levels = self.base(x, train, packed=packed)

@@ -97,6 +97,8 @@ class M3DRPN(nn.Module):
     sparse_align_topm: int = 0
     sparse_align_train: bool = False   # apply the sparse path in training too
     align_thresh: float = 0.5
+    remat_dcn: bool = False            # backward-pass remat knobs (config.py)
+    remat_towers: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -104,10 +106,14 @@ class M3DRPN(nn.Module):
                            down_ratio=self.feat_stride,
                            use_dcn=self.ida_dcnv2,
                            shift_clamp=self.dcn_shift_clamp,
+                           remat=self.remat_dcn,
                            stem_s2d=self.stem_s2d,
                            dtype=self.dtype)
         A = self.num_anchors
-        t = lambda out, k=1: Tower(out, self.head_hidden, k, dtype=self.dtype)
+        tower_cls = nn.remat(Tower, static_argnums=(2,)) \
+            if self.remat_towers else Tower
+        t = lambda out, k=1: tower_cls(out, self.head_hidden, k,
+                                       dtype=self.dtype)
         self.cls_tower = t(A * self.num_classes, k=3)
         self.bbox_x = t(A)
         self.bbox_y = t(A)
@@ -283,5 +289,7 @@ def build(conf, phase: str = "train") -> M3DRPN:
         stem_s2d=getattr(conf, "stem_s2d", True),
         sparse_align_topm=int(getattr(conf, "sparse_align_topm", 0)),
         sparse_align_train=bool(getattr(conf, "sparse_align_train", False)),
+        remat_dcn=bool(getattr(conf, "remat_dcn", False)),
+        remat_towers=bool(getattr(conf, "remat_towers", False)),
         dtype=dtype,
     )

@@ -330,7 +330,12 @@ def dcn_v2_shift(x, offset, mask, weight, bias=None, *, clamp: float = 1.0):
         ky, kx = k // Kw, k % Kw
         oy = off[..., k, 0]
         ox = off[..., k, 1]
-        wy = [jnp.maximum(0.0, 1.0 - jnp.abs(oy - d)) for d in D]
+        mk = mask[..., k].astype(jnp.float32)
+        # fold the modulation mask into the triangle weights: acc*m ==
+        # sum((wy*wx*m) * slice) exactly — the per-term weight product is a
+        # [B,H,W] op, while the separate mask multiply was a full [B,H,W,C]
+        # pass per tap (and another in backward)
+        wy = [jnp.maximum(0.0, 1.0 - jnp.abs(oy - d)) * mk for d in D]
         wx = [jnp.maximum(0.0, 1.0 - jnp.abs(ox - d)) for d in D]
         acc = jnp.zeros((B, H, W, C), x.dtype)
         for iy, dy in enumerate(D):
@@ -340,7 +345,7 @@ def dcn_v2_shift(x, offset, mask, weight, bias=None, *, clamp: float = 1.0):
                 w = (wy[iy] * wx[ix]).astype(x.dtype)
                 acc = acc + w[..., None] * jax.lax.slice(
                     xp, (0, ys, xs, 0), (B, ys + H, xs + W, C))
-        colk = (acc * mask[..., k, None].astype(x.dtype)).reshape(B, H * W, C)
+        colk = acc.reshape(B, H * W, C)
         out = out + jax.lax.dot_general(colk, w2[k], (((2,), (0,)), ((), ())),
                                         preferred_element_type=acc_t)
     out = out.reshape(B, H, W, Cout).astype(x.dtype)

@@ -112,8 +112,15 @@ def create_train_state(conf, model, rng, max_iter: int,
                       tx=tx, apply_fn=model.apply)
 
 
-def make_train_step(conf, rois: np.ndarray, packed_input: bool = False):
+def make_train_step(conf, rois: np.ndarray, packed_input: bool = False,
+                    donate: bool = False):
     """Build the jitted `train_step(state, batch, rng) -> (state, stats)`.
+
+    donate: donate the input `state` buffers to the call (the trainer does) —
+    XLA aliases params/momentum/batch_stats in place instead of allocating a
+    second copy of every buffer (~0.5 GB at dla102), freeing HBM headroom for
+    bigger batches. Callers that reuse a state across calls (profiling loops)
+    must keep the default.
 
     `rois`/anchors/whitening stats are closed-over constants (the reference
     keeps them as module buffers with device-migration hacks —
@@ -147,7 +154,7 @@ def make_train_step(conf, rois: np.ndarray, packed_input: bool = False):
         from ..ops.targets_device import make_device_target_fn
         target_fn = make_device_target_fn(conf, rois, jit_wrap=False)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         if target_fn is not None:

@@ -87,8 +87,12 @@ class Trainer:
         self.model = build(conf, "train")
         rng = jax.random.PRNGKey(conf.rng_seed)
         self.state = create_train_state(conf, self.model, rng, self.max_iter)
+        # the state is threaded linearly through run() (self.state rebinds
+        # every step) and checkpointing is synchronous, so donating the input
+        # state is safe and halves the steady-state HBM footprint
         self.train_step = make_train_step(conf, self.dataset.rois,
-                                          packed_input=self.packed_input)
+                                          packed_input=self.packed_input,
+                                          donate=True)
         self.rng = rng
 
         if conf.pretrained:

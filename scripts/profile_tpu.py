@@ -30,6 +30,13 @@ def main():
                         "(conf.sparse_align_train)")
     p.add_argument("--dense_align", action="store_true",
                    help="disable sparse alignment (conf.sparse_align_topm=0)")
+    p.add_argument("--remat_dcn", action="store_true",
+                   help="jax.checkpoint around the neck shift-DCNs")
+    p.add_argument("--remat_towers", action="store_true",
+                   help="flax remat around the head towers")
+    p.add_argument("--donate", action="store_true",
+                   help="donate the train state (threads state through the "
+                        "timing loop like the trainer does)")
     args = p.parse_args()
 
     import jax
@@ -50,6 +57,10 @@ def main():
         conf = conf.replace(sparse_align_train=True)
     if args.dense_align:
         conf = conf.replace(sparse_align_topm=0)
+    if args.remat_dcn:
+        conf = conf.replace(remat_dcn=True)
+    if args.remat_towers:
+        conf = conf.replace(remat_towers=True)
     model = build(conf)
     rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
     rng = jax.random.PRNGKey(0)
@@ -74,7 +85,8 @@ def main():
                 state.params, conf.num_classes, args.bg_bias))
         # pack images host-side exactly like the trainer (loader pack_s2d)
         packed = conf.stem_s2d and all(s % 2 == 0 for s in args.shape)
-        step = make_train_step(conf, rois, packed_input=packed)
+        step = make_train_step(conf, rois, packed_input=packed,
+                               donate=args.donate)
         N = rois.shape[0]
         B = args.batch
         rs = np.random.default_rng(0)
@@ -96,9 +108,19 @@ def main():
             batch["images"] = space_to_depth_np(batch["images"])
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-        def run(state):
-            s, stats = step(state, batch, rng)
-            return s.params, stats["loss"]
+        if args.donate:
+            # donation invalidates the input state buffers: thread the state
+            # through the loop exactly like the trainer does
+            holder = {"state": state}
+
+            def run(_):
+                s, stats = step(holder["state"], batch, rng)
+                holder["state"] = s
+                return stats["loss"]
+        else:
+            def run(state):
+                s, stats = step(state, batch, rng)
+                return s.params, stats["loss"]
 
         if args.trace:
             run(state)

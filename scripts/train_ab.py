@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Batched A/B measurement of train-step perf knobs — ONE process, many
+variants (TPU compiles are expensive per process; CLAUDE.md).
+
+Screens knob combinations on a configurable backbone/shape, then (with
+--flagship_final) measures the flagship parity config (dla102 + ANAB + full
+align @ 384x1280 bs=4) with the chosen combo and writes TRAINBENCH.json —
+the train-side companion artifact to bench.py's detect metric.
+
+Usage:
+    python scripts/train_ab.py --backbone dla34 --variants base,remat_dcn,...
+    python scripts/train_ab.py --flagship_final remat_dcn  # writes TRAINBENCH.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = {
+    "base": {},
+    "dense": {"sparse_align_topm": 0, "sparse_align_train": False},
+    "remat_dcn": {"remat_dcn": True},
+    "remat_towers": {"remat_towers": True},
+    "remat_both": {"remat_dcn": True, "remat_towers": True},
+    "light_stats": {"loss_light_stats": True},
+    "remat_dcn_light": {"remat_dcn": True, "loss_light_stats": True},
+}
+
+
+def measure(conf, shape, batch, iters, donate, bg_bias, tag):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from m3dssd_tpu.anchors import locate_anchors
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.train.state import create_train_state, make_train_step
+
+    model = build(conf)
+    rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(conf, model, rng, max_iter=1000)
+    if bg_bias:
+        from m3dssd_tpu.models.rpn import bias_background
+        state = state.replace(params=bias_background(
+            state.params, conf.num_classes, bg_bias))
+    packed = conf.stem_s2d and all(s % 2 == 0 for s in shape)
+    step = make_train_step(conf, rois, packed_input=packed, donate=donate)
+
+    N = rois.shape[0]
+    B = batch
+    rs = np.random.default_rng(0)
+    b = {
+        "images": rs.normal(size=(B, *shape, 3)).astype(np.float32),
+        "labels": np.zeros((B, N), np.int32),
+        "labels_fg": np.zeros((B, N), np.int8),
+        "labels_bg": np.ones((B, N), np.int8),
+        "labels_ign": np.zeros((B, N), np.int8),
+        "bbox_2d": np.zeros((B, 4, N), np.float32),
+        "bbox_3d": np.zeros((B, 7, N), np.float32),
+        "any_val": np.ones((B,), np.int32),
+    }
+    b["labels"][:, :50] = 1
+    b["labels_fg"][:, :50] = 1
+    b["labels_bg"][:, :50] = 0
+    if packed:
+        from m3dssd_tpu.models.dla import space_to_depth_np
+        b["images"] = space_to_depth_np(b["images"])
+    b = {k: jnp.asarray(v) for k, v in b.items()}
+
+    t0 = time.perf_counter()
+    state, stats = step(state, b, rng)      # compile + warmup
+    jax.block_until_ready(stats["loss"])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, stats = step(state, b, rng)
+    jax.block_until_ready(stats["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"[{tag}] {dt * 1e3:8.2f} ms/step  ({B / dt:6.2f} im/s)  "
+          f"loss={float(stats['loss']):.4f}  compile {compile_s:.0f}s",
+          flush=True)
+    # free the state before the next variant compiles
+    del state, step, b
+    return dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--backbone", default="dla34")
+    p.add_argument("--shape", type=int, nargs=2, default=[384, 1280])
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--bg_bias", type=float, default=4.0)
+    p.add_argument("--donate", action="store_true", default=True)
+    p.add_argument("--variants", default="base,remat_dcn,remat_towers,remat_both")
+    p.add_argument("--flagship_final", default=None,
+                   help="variant name; measures the flagship parity config "
+                        "with it and writes TRAINBENCH.json")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _flagship_conf
+
+    results = {}
+    if args.variants:
+        for name in args.variants.split(","):
+            conf = _flagship_conf(tuple(args.shape),
+                                  backbone=args.backbone).replace(
+                batch_size=args.batch,
+                sparse_align_train=True, **VARIANTS[name])
+            results[name] = measure(conf, tuple(args.shape), args.batch,
+                                    args.iters, args.donate, args.bg_bias,
+                                    f"{args.backbone} {name}")
+
+    if args.flagship_final:
+        conf = _flagship_conf(tuple(args.shape)).replace(
+            batch_size=args.batch, sparse_align_train=True,
+            **VARIANTS[args.flagship_final])
+        dt = measure(conf, tuple(args.shape), args.batch, args.iters,
+                     args.donate, args.bg_bias,
+                     f"flagship {args.flagship_final}")
+        out = {
+            "metric": "train_step_ms",
+            "value": round(dt * 1e3, 2),
+            "unit": "ms",
+            "images_per_sec_per_chip": round(args.batch / dt, 2),
+            "config": (f"dla102+ANAB+align @ {args.shape[0]}x{args.shape[1]} "
+                       f"bs={args.batch} bf16, sparse_align_train, "
+                       f"variant={args.flagship_final}, donate={args.donate}"),
+        }
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "TRAINBENCH.json")
+        with open(path, "w") as f:
+            json.dump(out, f)
+            f.write("\n")
+        print("TRAINBENCH " + json.dumps(out), flush=True)
+
+    if results:
+        base = results.get("base")
+        for k, v in results.items():
+            rel = f"  ({base / v:.2f}x vs base)" if base else ""
+            print(f"summary {k:14s} {v * 1e3:8.2f} ms{rel}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,36 @@ def build_case(data_root: str):
     return conf, ds, batch8
 
 
+def warm_gloo(mesh, barrier):
+    """Establish the Gloo communicator clique with a tiny, barrier-aligned
+    all-reduce BEFORE the real train step.
+
+    Creating a Gloo context has a hard ~30 s per-rank key-value rendezvous
+    deadline, and XLA creates it lazily at the FIRST collective the
+    executable runs — which for the train step is the gradient psum near
+    the END of a step that takes tens of seconds of compute per process on
+    this 1-core host. OS scheduling skew between the two processes then
+    puts their first collectives >30 s apart and context init dies with
+    "GetKeyValue() timed out" (observed twice in full-suite runs).
+    Communicator contexts are cached process-wide per device clique, so a
+    warmup all-reduce — compiled, then barrier-aligned, then run with
+    nothing else in flight — establishes the clique within seconds, and the
+    train step reuses it without ever facing the deadline."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from m3dssd_tpu.parallel.mesh import _put
+
+    x = np.arange(mesh.size, dtype=np.float32)
+    xs = _put(x, mesh, (mesh.axis_names[0],))
+    f = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))
+    compiled = f.lower(xs).compile()
+    barrier("gloo_warmup_compiled")
+    out = float(compiled(xs))
+    assert out == float(x.sum()), (out, float(x.sum()))
+
+
 def run_train_step(conf, ds, batch8, mesh, barrier=None):
     """One jitted train step on `mesh`. `barrier(name)` (multi-process
     runs) is called between AOT compilation and execution: every NEW Gloo
@@ -119,8 +149,9 @@ def main():
         _dist.global_state.client.wait_at_barrier(name, timeout_min * 60000)
 
     from m3dssd_tpu.parallel import make_mesh
-    conf, ds, batch8 = build_case(data_root)
     mesh = make_mesh(4 * nproc)
+    warm_gloo(mesh, barrier)
+    conf, ds, batch8 = build_case(data_root)
     loss = run_train_step(conf, ds, batch8, mesh, barrier=barrier)
     with open(out_path, "w") as f:
         json.dump({"process": pid, "loss": loss}, f)

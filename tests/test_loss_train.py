@@ -394,3 +394,46 @@ def test_device_target_train_step_matches_host(synthetic_kitti, tiny_conf):
     for a, b in zip(ph, pd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_remat_light_stats_donate_exact(tiny_train_setup):
+    """The train-perf knobs are exact: remat (recompute-in-backward) and
+    light_stats (skip logging-only stats) must not change the training math,
+    and donated-state steps must match non-donated ones.
+
+    remat_dcn/remat_towers only change what XLA saves for the backward pass
+    (jax.checkpoint); light_stats only drops stats-dict keys
+    (losses/rpn_loss.py); donate only aliases buffers (train/state.py).
+    """
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.train.state import create_train_state, make_train_step
+
+    conf, ds, loader = tiny_train_setup
+    conf = conf.replace(warmup=0.0)
+    batch = next(iter(loader.batches(1)))
+    rng = jax.random.PRNGKey(3)
+
+    def one_step(c, donate=False):
+        model = build(c)
+        state = create_train_state(c, model, jax.random.PRNGKey(0), 100)
+        step = make_train_step(c, ds.rois, donate=donate)
+        new_state, stats = step(state, batch, rng)
+        return new_state, stats
+
+    s0, st0 = one_step(conf)
+    assert {"acc_fg", "acc_bg", "err_z", "err_ry"} <= set(st0)
+
+    s1, st1 = one_step(conf.replace(remat_dcn=True, remat_towers=True))
+    np.testing.assert_allclose(float(st1["loss"]), float(st0["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+    s2, st2 = one_step(conf.replace(loss_light_stats=True))
+    assert float(st2["loss"]) == float(st0["loss"])
+    assert not {"acc_fg", "acc_bg", "err_z", "err_ry"} & set(st2)
+
+    _, st3 = one_step(conf, donate=True)
+    assert float(st3["loss"]) == float(st0["loss"])
