@@ -39,7 +39,21 @@ def main():
                         "slow-host setup)")
     p.add_argument("--grad_clip", type=float, default=5.0,
                    help="global-norm gradient clip (0 = off)")
+    p.add_argument("--pool", type=int, default=0,
+                   help="device-cached batch pool: pre-draw this many "
+                        "augmented batches through the normal loader, keep "
+                        "them resident on the device, and cycle them — the "
+                        "training math is the loader's own batches, but "
+                        "steps run device-bound instead of paying this "
+                        "host's ~5 MB/s tunnel upload every step (0 = "
+                        "stream normally)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke tests)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from m3dssd_tpu.config import load_config
     from m3dssd_tpu.data.synthetic import generate
@@ -67,6 +81,30 @@ def main():
     out = os.path.join(args.root, "out")
     trainer = Trainer(conf, data_root, out, cache_folder=os.path.join(
         args.root, "cache"))
+
+    if args.pool:
+        # Pre-draw `pool` batches through the trainer's own loader (same
+        # augmentation stream, same collate/pack/bf16-upload path; the
+        # loader's to_device=True uploads each batch as it is drawn) and
+        # cycle them on-device. One epoch still consumes steps_per_epoch
+        # batches; the pool is sampled uniformly with a seeded rng.
+        import time as _time
+        import numpy as _np
+        t0 = _time.time()
+        pool = list(trainer.loader.batches(args.pool))
+        print(f"device pool: {len(pool)} batches uploaded in "
+              f"{_time.time() - t0:.0f}s", flush=True)
+
+        class DevicePool:
+            def __init__(self, batches, seed=0):
+                self.pool = batches
+                self.rs = _np.random.default_rng(seed)
+
+            def batches(self, n):
+                for _ in range(n):
+                    yield self.pool[int(self.rs.integers(len(self.pool)))]
+
+        trainer.loader = DevicePool(pool, seed=conf.rng_seed)
 
     # record the val AP trajectory as evals fire
     trajectory = []

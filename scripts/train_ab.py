@@ -124,6 +124,12 @@ def main():
                                     args.iters, args.donate, args.bg_bias,
                                     f"{args.backbone} {name}")
 
+    if args.flagship_final == "auto":
+        assert results, "--flagship_final auto needs --variants"
+        args.flagship_final = min(results, key=results.get)
+        print(f"auto-selected fastest variant: {args.flagship_final}",
+              flush=True)
+
     if args.flagship_final:
         conf = _flagship_conf(tuple(args.shape)).replace(
             batch_size=args.batch, sparse_align_train=True,
