@@ -74,6 +74,8 @@ def main():
         snapshot_epoch=max(args.epochs // 4, 1), display_iter=20,
         num_workers=4, score_thres=0.3,
         pre_compute_target=args.host_targets,
+        sparse_align_train=True,   # exact in both regimes (PERF.md); the
+                                   # dense branch rides lax.cond early on
         grad_clip_norm=args.grad_clip or None)
     assert conf.compute_dtype == "bfloat16" and conf.stem_s2d \
         and conf.dcn_shift_clamp is not None, "fast paths must be ON"
