@@ -122,13 +122,22 @@ def make_detector(conf, rois: np.ndarray, model=None,
 
 
 def make_batch_detector(conf, rois: np.ndarray, model=None,
-                        packed_input: bool = False):
+                        packed_input: bool = False, mesh=None):
     """Batched variant: `detect(params, batch_stats, images [B,H,W,3],
     scale_factors [B]) -> dets [B, top_post, 14]`.
 
     The reference tests at batch 1 (ref:lib/dataloader.py:906); batching the
     eval forward is AP-neutral throughput (decode + NMS vmap across images).
     `packed_input`: images arrive space-to-depth packed [B, H/2, W/2, 12].
+
+    `mesh`: a `jax.sharding.Mesh` (parallel.make_mesh) for multi-chip
+    inference — the batch shards over the 'data' axis (B must divide by its
+    size) and, on a 2-D ('data', 'spatial') mesh, each image's height
+    additionally shards over 'spatial' (XLA inserts the conv halo
+    exchanges; the per-image decode+NMS runs data-sharded). Params/stats
+    are replicated; host inputs are placed automatically by the jit
+    shardings (single-process meshes — multi-process callers should
+    pre-place with parallel.shard_batch/replicate_state).
     """
     rois_t = jnp.asarray(rois[:, :5].T, jnp.float32)
     means_c = jnp.asarray(conf.bbox_means, jnp.float32).reshape(-1)
@@ -157,7 +166,6 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
             final_2d.T, final_scores[:, None], cls_pred[fi][:, None],
             coords_3d[:, fi].T, rois_t[4, fi][:, None]], axis=1)
 
-    @jax.jit
     def detect(params, batch_stats, images, scale_factors):
         out = apply_fn({"params": params, "batch_stats": batch_stats},
                        images, train=False, packed=packed_input)
@@ -166,4 +174,31 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
                               out["bbox_3d"].astype(jnp.float32),
                               scale_factors.astype(jnp.float32))
 
-    return detect
+    if mesh is None:
+        return jax.jit(detect)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, SPATIAL_AXIS, _spatial_size
+
+    sp = _spatial_size(mesh)
+    h_in = int(conf.test_scale[0]) // (2 if packed_input else 1)
+    img_sharding = NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS)
+                                 if sp > 1 and h_in % sp == 0
+                                 else P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(
+        detect,
+        in_shardings=(repl, repl, img_sharding,
+                      NamedSharding(mesh, P(DATA_AXIS))),
+        out_shardings=NamedSharding(mesh, P(DATA_AXIS)))
+
+    # thin wrapper so callers (test_driver._run_batched) can discover the
+    # image sharding for their explicit device_put (a default device_put
+    # would commit the batch to one device and clash with in_shardings)
+    def detect_sharded(params, batch_stats, images, scale_factors):
+        return jitted(params, batch_stats, images, scale_factors)
+
+    detect_sharded.input_sharding = img_sharding
+    detect_sharded.jitted = jitted
+    return detect_sharded

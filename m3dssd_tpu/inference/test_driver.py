@@ -140,7 +140,10 @@ def _run_batched(dataset, detect_fn, params, batch_stats, conf,
                 while len(ims) < B:            # pad the tail batch
                     ims.append(ims[-1])
                     sfs.append(sfs[-1])
-                imb = jax.device_put(np.concatenate(ims, axis=0))
+                # mesh-sharded detectors publish their image sharding
+                # (inference.detect.make_batch_detector(mesh=...))
+                shd = getattr(detect_fn, "input_sharding", None)
+                imb = jax.device_put(np.concatenate(ims, axis=0), shd)
                 out = detect_fn(params, batch_stats, imb,
                                 np.asarray(sfs, np.float32))
                 if pending is not None:

@@ -23,6 +23,13 @@ def main():
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (JAX_PLATFORMS is ignored "
                         "when a TPU plugin is registered)")
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help="shard batched eval over this many devices "
+                        "(data-parallel inference; needs eval_batch_size "
+                        "divisible by it)")
+    p.add_argument("--mesh_spatial", type=int, default=1,
+                   help="with --mesh_devices: also shard image height over "
+                        "this many devices (2-D data x spatial mesh)")
     args = p.parse_args()
 
     import jax
@@ -65,7 +72,16 @@ def main():
     eval_bs = max(int(getattr(conf, "eval_batch_size", 1)), 1)
     from m3dssd_tpu.inference.detect import packed_input_eligible
     packed = packed_input_eligible(conf)
-    if eval_bs > 1:
+    if args.mesh_devices > 1:
+        from m3dssd_tpu.inference.detect import make_batch_detector
+        from m3dssd_tpu.parallel import make_mesh
+        if eval_bs % args.mesh_devices:
+            eval_bs = args.mesh_devices * max(
+                1, round(eval_bs / args.mesh_devices))
+        mesh = make_mesh(args.mesh_devices, spatial=args.mesh_spatial)
+        detect = make_batch_detector(conf, rois, model, packed_input=packed,
+                                     mesh=mesh)
+    elif eval_bs > 1:
         from m3dssd_tpu.inference.detect import make_batch_detector
         detect = make_batch_detector(conf, rois, model, packed_input=packed)
     else:

@@ -276,3 +276,72 @@ def test_bf16_upload_identical_to_f32(synthetic_kitti, tiny_conf):
     out_bf16 = np.asarray(det(p, bs, im.astype(ml_dtypes.bfloat16),
                               np.float32(1.0)))
     np.testing.assert_array_equal(out_f32, out_bf16)
+
+
+def test_mesh_batch_detector_matches_unsharded(synthetic_kitti, tiny_conf):
+    """Multi-chip inference: make_batch_detector(mesh=...) must produce the
+    same detections as the unsharded batch detector — on a 1-D data mesh
+    (pure batch sharding) and on a 2-D data x spatial mesh (image height
+    sharded; XLA inserts the conv halo exchanges)."""
+    import jax.numpy as jnp
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.inference.detect import make_batch_detector
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.parallel import make_mesh
+
+    conf = tiny_conf.replace(anchors=None)
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
+    val = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
+    model = build(conf)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 128, 3), jnp.float32), train=False)
+    p, bs = v["params"], v.get("batch_stats", {})
+
+    imgs = np.stack([val[i % len(val)]["input"] for i in range(4)], axis=0)
+    sfs = np.ones(4, np.float32)
+    ref = np.asarray(make_batch_detector(conf, ds.rois, model)(
+        p, bs, imgs, jnp.asarray(sfs)))
+
+    for spatial in (1, 2):
+        mesh = make_mesh(4 * spatial, spatial=spatial)
+        det = make_batch_detector(conf, ds.rois, model, mesh=mesh)
+        assert det.input_sharding is not None
+        out = np.asarray(det(p, bs, imgs, sfs))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3,
+                                   err_msg=f"spatial={spatial}")
+
+
+def test_mesh_batched_driver_writes_identical_txts(synthetic_kitti,
+                                                   tiny_conf, tmp_path):
+    """The batched eval driver with a mesh-sharded detector (multi-chip
+    eval) writes byte-identical KITTI result txts to the unsharded one."""
+    import glob
+    import jax.numpy as jnp
+    from m3dssd_tpu.data.kitti import Kitti3DDataset
+    from m3dssd_tpu.inference.detect import make_batch_detector
+    from m3dssd_tpu.inference.test_driver import test_kitti_3d
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.parallel import make_mesh
+
+    conf = tiny_conf.replace(anchors=None, score_thres=0.05)
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
+    val = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
+    model = build(conf)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 128, 3), jnp.float32), train=False)
+    p, bs = v["params"], v.get("batch_stats", {})
+
+    res_plain = str(tmp_path / "plain")
+    res_mesh = str(tmp_path / "mesh")
+    test_kitti_3d(val, make_batch_detector(conf, ds.rois, model), p, bs,
+                  conf, res_plain, evaluate=False, batch_size=2)
+    mesh = make_mesh(2)
+    test_kitti_3d(val, make_batch_detector(conf, ds.rois, model, mesh=mesh),
+                  p, bs, conf, res_mesh, evaluate=False, batch_size=2)
+
+    files1 = sorted(glob.glob(os.path.join(res_plain, "*.txt")))
+    files2 = sorted(glob.glob(os.path.join(res_mesh, "*.txt")))
+    assert [os.path.basename(f) for f in files1] == \
+        [os.path.basename(f) for f in files2] and files1
+    for f1, f2 in zip(files1, files2):
+        assert open(f1).read() == open(f2).read(), os.path.basename(f1)
