@@ -152,8 +152,14 @@ class Trainer:
         if self._eval_detect is None:
             if eval_bs > 1:
                 from ..inference.detect import make_batch_detector
+                # ride the training mesh (params are already replicated on
+                # it) whenever the eval batch divides over its data axis
+                mesh = self.mesh if (
+                    self.mesh is not None
+                    and eval_bs % self.mesh.shape["data"] == 0) else None
                 self._eval_detect = make_batch_detector(
-                    conf, self.dataset.rois, self.model, packed_input=packed)
+                    conf, self.dataset.rois, self.model, packed_input=packed,
+                    mesh=mesh)
             else:
                 self._eval_detect = make_detector(conf, self.dataset.rois,
                                                   self.model,

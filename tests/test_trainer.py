@@ -111,3 +111,27 @@ def test_freeze_bn_stats_pinned(synthetic_kitti, tiny_conf):
             live_changed.append(not np.array_equal(v0, v1))
     assert frozen_same and all(frozen_same)
     assert live_changed and any(live_changed)
+
+
+def test_trainer_eval_rides_training_mesh(synthetic_kitti, tiny_conf,
+                                          tmp_path):
+    """With a training mesh active and eval_batch_size divisible by its
+    data axis, the in-training eval detector is mesh-sharded (multi-chip
+    eval); the eval still runs end-to-end and returns a metric."""
+    from m3dssd_tpu.train.trainer import Trainer
+    conf = tiny_conf.replace(
+        anchors=None, snapshot_epoch=1, eval_epoch=1, do_test=True,
+        display_iter=2, max_epoch=1, eval_batch_size=4, score_thres=0.05)
+    tr = Trainer(conf, synthetic_kitti, str(tmp_path / "out"), use_mesh=True)
+    assert tr.mesh is not None and tr.mesh.shape["data"] == len(jax.devices())
+    sel = tr._eval(epoch=1)
+    assert np.isfinite(sel)
+    # eval_bs=4 does not divide the 8-device mesh -> unsharded fallback
+    assert getattr(tr._eval_detect, "input_sharding", None) is None
+
+    conf8 = conf.replace(eval_batch_size=8)
+    tr8 = Trainer(conf8, synthetic_kitti, str(tmp_path / "out8"),
+                  use_mesh=True)
+    sel8 = tr8._eval(epoch=1)
+    assert np.isfinite(sel8)
+    assert tr8._eval_detect.input_sharding is not None
