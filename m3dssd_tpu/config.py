@@ -143,6 +143,16 @@ class Config:
     nms_thres: float = 0.4
     clip_boxes: bool = False
     score_thres: float = 0.75
+    # sparse pre-NMS compaction budget (0 = off): decode + NMS run on the
+    # (up to) top-M candidates with score >= score_thres instead of all
+    # ~500k anchors, with a lax.cond dense fallback when more than M clear
+    # the threshold. EXACT for every detection the framework emits: the
+    # test driver drops rows below score_thres anyway
+    # (inference/test_driver.py postprocess_dets), and greedy NMS
+    # suppression only ever flows from higher- to lower-scored boxes, so
+    # removing sub-threshold candidates cannot change the surviving
+    # above-threshold set. Padding rows carry score -1.
+    nms_sparse_topm: int = 2048
 
     test_protocol: str = "kitti"
     test_db: str = "kitti"

@@ -117,7 +117,8 @@ def read_kitti_label(file: str, p2: np.ndarray, use_3d_for_2d: bool = False) -> 
     return gts
 
 
-_PHASE_DIR = {"train": "training", "validation": "validation", "test": "testing"}
+_PHASE_DIR = {"train": "training", "val_train": "training",
+              "validation": "validation", "test": "testing"}
 
 
 def build_imdb(conf, data_root: str, phase: str,

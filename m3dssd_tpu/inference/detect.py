@@ -36,6 +36,39 @@ def _clip_dets_2d(box, scale_factor, test_scale):
                       jnp.clip(box[3], 0.0, im_h)])
 
 
+def _compact_above(scores, thresh: float, m: int):
+    """First-m compaction of candidate indices with score >= thresh.
+
+    Compaction, not sorting (same machinery as models/align.confident_topm):
+    cumsum of the threshold flags assigns each passing candidate its output
+    slot; `searchsorted` inverts the (monotone) map with log2(N) gathers.
+    scores [N] -> (idx [m] int32 with sentinel N in unused slots,
+    ok: scalar bool, count <= m)."""
+    flags = scores >= thresh
+    ranks = jnp.cumsum(flags.astype(jnp.int32))
+    cnt = ranks[-1]
+    idx = jnp.searchsorted(ranks, jnp.arange(1, m + 1, dtype=jnp.int32),
+                           side="left")
+    return idx.astype(jnp.int32), cnt <= m
+
+
+def _sparse_nms_cfg(conf, rois, use_topk_pre: bool = False):
+    """(m, thresh) for sparse pre-NMS compaction, or (0, _) when disabled.
+
+    Sound only when downstream consumers drop rows below conf.score_thres
+    (the framework's test driver does — postprocess_dets): greedy NMS
+    processes boxes in descending score order, so a sub-threshold candidate
+    can never suppress an above-threshold one, and removing all of them
+    leaves the surviving above-threshold set EXACTLY unchanged
+    (config.py:nms_sparse_topm). Disabled under use_topk_pre (strict
+    reference mode) and for non-positive thresholds."""
+    m = int(getattr(conf, "nms_sparse_topm", 0))
+    thresh = float(getattr(conf, "score_thres", 0.0))
+    if use_topk_pre or thresh <= 0.0 or m <= 0:
+        return 0, thresh
+    return min(m, rois.shape[0]), thresh
+
+
 def packed_input_eligible(conf) -> bool:
     """True when eval images can be fed space-to-depth packed host-side
     (stem_s2d enabled and even eval dimensions)."""
@@ -75,6 +108,30 @@ def make_detector(conf, rois: np.ndarray, model=None,
     src3d_t = jnp.asarray(np.asarray(conf.anchors)[tracker_np, 4:9].T,
                           jnp.float32)                      # [5, N]
 
+    sparse_m, sparse_thresh = _sparse_nms_cfg(conf, rois, use_topk_pre)
+
+    def _finish(top_scores, rk, sk, cls_k, d2, d3, scale_factor):
+        coords_2d = bbox_transform_inv_t(rk, d2, means_c[0:4], stds_c[0:4])
+        coords_3d = decode_bbox_3d_t(rk, d3, sk, means_c, stds_c)
+        # rescale image-plane quantities to the original resolution
+        coords_2d = coords_2d / scale_factor
+        coords_3d = coords_3d.at[0:2].divide(scale_factor)
+
+        # greedy NMS, keeping only the top_post survivors (exact: the first
+        # `top_post` kept boxes of full greedy NMS)
+        fi, valid = nms_select_t(coords_2d, top_scores, nms_thres, top_post)
+        final_scores = jnp.where(valid, top_scores[fi], -1.0)
+        final_2d = coords_2d[:, fi]
+        if clip_boxes:
+            final_2d = _clip_dets_2d(final_2d, scale_factor, test_scale)
+        return jnp.concatenate([
+            final_2d.T,
+            final_scores[:, None],
+            cls_k[fi].astype(jnp.float32)[:, None],
+            coords_3d[:, fi].T,
+            rk[4][fi][:, None],
+        ], axis=1)
+
     @jax.jit
     def detect(params, batch_stats, image, scale_factor):
         out = apply_fn({"params": params, "batch_stats": batch_stats},
@@ -93,30 +150,29 @@ def make_detector(conf, rois: np.ndarray, model=None,
             sk = src3d_t[:, top_idx]
             d2, d3 = d2[:, top_idx], d3[:, top_idx]
             cls_k = cls_pred[top_idx]
-        else:
-            top_scores, rk, sk, cls_k = scores, rois_t, src3d_t, cls_pred
+            return _finish(top_scores, rk, sk, cls_k, d2, d3, scale_factor)
 
-        coords_2d = bbox_transform_inv_t(rk, d2, means_c[0:4], stds_c[0:4])
-        coords_3d = decode_bbox_3d_t(rk, d3, sk, means_c, stds_c)
-        # rescale image-plane quantities to the original resolution
-        coords_2d = coords_2d / scale_factor
-        coords_3d = coords_3d.at[0:2].divide(scale_factor)
+        if sparse_m:
+            idx, ok = _compact_above(scores, sparse_thresh, sparse_m)
 
-        # greedy NMS, keeping only the top_post survivors (exact: the first
-        # `top_post` kept boxes of full greedy NMS)
-        fi, valid = nms_select_t(coords_2d, top_scores, nms_thres, top_post)
-        final_scores = jnp.where(valid, top_scores[fi], -1.0)
-        final_2d = coords_2d[:, fi]
-        if clip_boxes:
-            final_2d = _clip_dets_2d(final_2d, scale_factor, test_scale)
-        dets = jnp.concatenate([
-            final_2d.T,
-            final_scores[:, None],
-            cls_k[fi][:, None],
-            coords_3d[:, fi].T,
-            rk[4, fi][:, None],
-        ], axis=1)
-        return dets
+            def _sparse():
+                sc = jnp.take(scores, idx, mode="fill", fill_value=-1.0)
+                ck = jnp.take(cls_pred, idx, mode="fill", fill_value=0)
+                rk = jnp.take(rois_t, idx, axis=1, mode="fill",
+                              fill_value=0.0)
+                sk = jnp.take(src3d_t, idx, axis=1, mode="fill",
+                              fill_value=0.0)
+                d2k = jnp.take(d2, idx, axis=1, mode="fill", fill_value=0.0)
+                d3k = jnp.take(d3, idx, axis=1, mode="fill", fill_value=0.0)
+                return _finish(sc, rk, sk, ck, d2k, d3k, scale_factor)
+
+            return jax.lax.cond(
+                ok, _sparse,
+                lambda: _finish(scores, rois_t, src3d_t, cls_pred, d2, d3,
+                                scale_factor))
+
+        return _finish(scores, rois_t, src3d_t, cls_pred, d2, d3,
+                       scale_factor)
 
     return detect
 
@@ -152,10 +208,12 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
     src3d_t = jnp.asarray(np.asarray(conf.anchors)[tracker_np, 4:9].T,
                           jnp.float32)
 
-    def _one(scores, cls_pred, d2, d3, scale_factor):
-        coords_2d = bbox_transform_inv_t(rois_t, d2, means_c[0:4],
+    sparse_m, sparse_thresh = _sparse_nms_cfg(conf, rois)
+
+    def _one(scores, cls_pred, rk, sk, d2, d3, scale_factor):
+        coords_2d = bbox_transform_inv_t(rk, d2, means_c[0:4],
                                          stds_c[0:4]) / scale_factor
-        coords_3d = decode_bbox_3d_t(rois_t, d3, src3d_t, means_c, stds_c)
+        coords_3d = decode_bbox_3d_t(rk, d3, sk, means_c, stds_c)
         coords_3d = coords_3d.at[0:2].divide(scale_factor)
         fi, valid = nms_select_t(coords_2d, scores, nms_thres, top_post)
         final_scores = jnp.where(valid, scores[fi], -1.0)
@@ -163,16 +221,63 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
         if clip_boxes:
             final_2d = _clip_dets_2d(final_2d, scale_factor, test_scale)
         return jnp.concatenate([
-            final_2d.T, final_scores[:, None], cls_pred[fi][:, None],
-            coords_3d[:, fi].T, rois_t[4, fi][:, None]], axis=1)
+            final_2d.T, final_scores[:, None],
+            cls_pred[fi].astype(jnp.float32)[:, None],
+            coords_3d[:, fi].T, rk[4][fi][:, None]], axis=1)
 
     def detect(params, batch_stats, images, scale_factors):
         out = apply_fn({"params": params, "batch_stats": batch_stats},
                        images, train=False, packed=packed_input)
-        return jax.vmap(_one)(out["scores"], out["cls_pred"],
-                              out["bbox_2d"].astype(jnp.float32),
-                              out["bbox_3d"].astype(jnp.float32),
-                              scale_factors.astype(jnp.float32))
+        scores = out["scores"]                             # [B, N]
+        cls_pred = out["cls_pred"]
+        d2 = out["bbox_2d"].astype(jnp.float32)            # [B, 4, N]
+        d3 = out["bbox_3d"].astype(jnp.float32)            # [B, 7, N]
+        sfs = scale_factors.astype(jnp.float32)
+
+        def _dense():
+            return jax.vmap(_one, in_axes=(0, 0, None, None, 0, 0, 0))(
+                scores, cls_pred, rois_t, src3d_t, d2, d3, sfs)
+
+        if not sparse_m:
+            return _dense()
+
+        B, N = scores.shape
+        M = sparse_m
+        idx, oks = jax.vmap(
+            lambda s: _compact_above(s, sparse_thresh, M))(scores)
+
+        def _sparse():
+            # flat gathers with the batch offset folded in (sentinel idx N
+            # maps OUT of the whole flat range -> mode="fill"); the batched
+            # gather form is ~2.7x slower per row (ops/dcn.py)
+            bi = jnp.arange(B, dtype=jnp.int32)[:, None]
+            ch = lambda P: jnp.arange(P, dtype=jnp.int32)[None, :, None]
+            valid_idx = idx < N
+
+            def g1(a, fv):                                # [B, N] -> [B, M]
+                flat = jnp.where(valid_idx, idx + bi * N, B * N)
+                return jnp.take(a.reshape(-1), flat.reshape(-1), mode="fill",
+                                fill_value=fv).reshape(B, M)
+
+            def gp(a, P):                            # [B, P, N] -> [B, P, M]
+                flat = jnp.where(valid_idx[:, None, :],
+                                 idx[:, None, :] + (bi[..., None] * P
+                                                    + ch(P)) * N, B * P * N)
+                return jnp.take(a.reshape(-1), flat.reshape(-1), mode="fill",
+                                fill_value=0.0).reshape(B, P, M)
+
+            sc = g1(scores, -1.0)
+            ck = g1(cls_pred.astype(scores.dtype), 0.0)
+            d2k, d3k = gp(d2, 4), gp(d3, 7)
+            # constants: per-image column gather, sentinel filled
+            rk = jnp.take(rois_t, idx.reshape(-1), axis=1, mode="fill",
+                          fill_value=0.0).reshape(5, B, M)
+            sk = jnp.take(src3d_t, idx.reshape(-1), axis=1, mode="fill",
+                          fill_value=0.0).reshape(5, B, M)
+            return jax.vmap(_one, in_axes=(0, 0, 1, 1, 0, 0, 0))(
+                sc, ck, rk, sk, d2k, d3k, sfs)
+
+        return jax.lax.cond(jnp.all(oks), _sparse, _dense)
 
     if mesh is None:
         return jax.jit(detect)

@@ -128,9 +128,12 @@ def main():
     from m3dssd_tpu.inference.detect import (make_batch_detector,
                                              packed_input_eligible)
     from m3dssd_tpu.inference.test_driver import test_kitti_3d
-    train_ds = Kitti3DDataset(conf, data_root, phase="train")
+    # val_train = train imdb + DETERMINISTIC eval preprocessing (phase
+    # "train" would run the random augmentations, putting detections in an
+    # augmented frame that no longer matches the gt labels)
+    train_ds = Kitti3DDataset(conf, data_root, phase="val_train")
     packed = packed_input_eligible(conf)
-    det = make_batch_detector(conf, train_ds.rois, trainer.model,
+    det = make_batch_detector(conf, trainer.dataset.rois, trainer.model,
                               packed_input=packed)
     res_train, sel_train = test_kitti_3d(
         train_ds, det, trainer.state.params, trainer.state.batch_stats, conf,

@@ -16,7 +16,9 @@ def main():
     p.add_argument("--run_dir", required=True, help="training output dir")
     p.add_argument("--data_root", required=True)
     p.add_argument("--step", type=int, default=None)
-    p.add_argument("--phase", default="validation")
+    p.add_argument("--phase", default="validation",
+                   help="validation | val_train (train split with "
+                        "deterministic eval preprocessing) | test")
     p.add_argument("--torch_weights", default=None,
                    help="reference-format .pth/.pkl checkpoint to evaluate "
                         "(parity mode: forces the exact gather-path DCN)")
@@ -94,9 +96,10 @@ def main():
         step = args.step or latest_step(os.path.join(args.run_dir, "weights"))
         results = os.path.join(args.run_dir, "results",
                                f"results_test_{step}", "data")
+    from m3dssd_tpu.data.kitti import _PHASE_DIR
     gt_path = os.path.join(args.data_root,
                            conf.datasets_validation[0]["name"],
-                           args.phase, "label_2")
+                           _PHASE_DIR.get(args.phase, args.phase), "label_2")
     res, sel = test_kitti_3d(dataset, detect, state.params, state.batch_stats,
                              conf, results,
                              gt_path=gt_path if os.path.isdir(gt_path) else None,

@@ -155,7 +155,10 @@ def test_batch_detector_matches_single(synthetic_kitti, tiny_conf):
     from m3dssd_tpu.inference.detect import make_batch_detector, make_detector
     from m3dssd_tpu.models import build
 
-    conf = tiny_conf.replace(anchors=None)
+    # low score_thres -> the sparse pre-NMS budget overflows -> dense path;
+    # keeps the full-table comparison non-vacuous (random-init scores never
+    # clear the 0.75 default)
+    conf = tiny_conf.replace(anchors=None, score_thres=0.05)
     ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
     val = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
     model = build(conf)
@@ -221,7 +224,8 @@ def test_clip_boxes_clamps_post_nms(synthetic_kitti, tiny_conf):
     from m3dssd_tpu.inference.detect import make_batch_detector, make_detector
     from m3dssd_tpu.models import build
 
-    conf = tiny_conf.replace(anchors=None)
+    # score_thres=0.05: overflow the sparse pre-NMS budget -> dense path
+    conf = tiny_conf.replace(anchors=None, score_thres=0.05)
     ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
     val = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
     model = build(conf)
@@ -263,7 +267,9 @@ def test_bf16_upload_identical_to_f32(synthetic_kitti, tiny_conf):
     from m3dssd_tpu.inference.detect import make_detector
     from m3dssd_tpu.models import build
 
-    conf = tiny_conf.replace(anchors=None, compute_dtype="bfloat16")
+    # score_thres=0.05: overflow the sparse pre-NMS budget -> dense path
+    conf = tiny_conf.replace(anchors=None, compute_dtype="bfloat16",
+                             score_thres=0.05)
     ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
     val = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
     model = build(conf)
@@ -289,7 +295,8 @@ def test_mesh_batch_detector_matches_unsharded(synthetic_kitti, tiny_conf):
     from m3dssd_tpu.models import build
     from m3dssd_tpu.parallel import make_mesh
 
-    conf = tiny_conf.replace(anchors=None)
+    # score_thres=0.05: overflow the sparse pre-NMS budget -> dense path
+    conf = tiny_conf.replace(anchors=None, score_thres=0.05)
     ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
     val = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
     model = build(conf)

@@ -139,7 +139,8 @@ def test_full_model_sparse_eval_matches_dense(synthetic_kitti, tiny_conf):
 
     conf = tiny_conf.replace(anchors=None, crop_size=[96, 320],
                              test_scale=[96, 320], shape_align=True,
-                             center_align=True, sparse_align_topm=0)
+                             center_align=True, sparse_align_topm=0,
+                             score_thres=0.05)
     ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
     val = Kitti3DDataset(conf, synthetic_kitti, phase="validation")
     model_dense = build(conf)
