@@ -20,6 +20,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+def _key_batch(key: str, default: int) -> int:
+    """Batch size encoded in a sweep result key ('name@bsN'), else default."""
+    _, _, tag = key.partition("@bs")
+    return int(tag) if tag else default
+
+
 VARIANTS = {
     "base": {},
     "dense": {"sparse_align_topm": 0, "sparse_align_train": False},
@@ -94,6 +100,9 @@ def main():
     p.add_argument("--backbone", default="dla34")
     p.add_argument("--shape", type=int, nargs=2, default=[384, 1280])
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch_sweep", default=None,
+                   help="comma list of batch sizes: measure every variant "
+                        "at each (one process, shared compile cache)")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--bg_bias", type=float, default=4.0)
     p.add_argument("--donate", action="store_true", default=True)
@@ -113,38 +122,47 @@ def main():
 
     from __graft_entry__ import _flagship_conf
 
+    batches = ([int(b) for b in args.batch_sweep.split(",")]
+               if args.batch_sweep else [args.batch])
     results = {}
     if args.variants:
         for name in args.variants.split(","):
-            conf = _flagship_conf(tuple(args.shape),
-                                  backbone=args.backbone).replace(
-                batch_size=args.batch,
-                sparse_align_train=True, **VARIANTS[name])
-            results[name] = measure(conf, tuple(args.shape), args.batch,
-                                    args.iters, args.donate, args.bg_bias,
-                                    f"{args.backbone} {name}")
+            for b in batches:
+                conf = _flagship_conf(tuple(args.shape),
+                                      backbone=args.backbone).replace(
+                    batch_size=b,
+                    sparse_align_train=True, **VARIANTS[name])
+                key = name if len(batches) == 1 else f"{name}@bs{b}"
+                results[key] = measure(conf, tuple(args.shape), b,
+                                       args.iters, args.donate, args.bg_bias,
+                                       f"{args.backbone} {key}")
 
     if args.flagship_final == "auto":
         assert results, "--flagship_final auto needs --variants"
-        args.flagship_final = min(results, key=results.get)
-        print(f"auto-selected fastest variant: {args.flagship_final}",
-              flush=True)
+        # highest throughput (im/s), not lowest latency: a bigger batch may
+        # cost more ms/step but win per-chip throughput
+        best = max(results, key=lambda k: _key_batch(k, args.batch)
+                   / results[k])
+        print(f"auto-selected best-throughput variant: {best}", flush=True)
+        args.flagship_final = best
 
     if args.flagship_final:
+        name, _, bs_tag = args.flagship_final.partition("@bs")
+        fbatch = int(bs_tag) if bs_tag else args.batch
         conf = _flagship_conf(tuple(args.shape)).replace(
-            batch_size=args.batch, sparse_align_train=True,
-            **VARIANTS[args.flagship_final])
-        dt = measure(conf, tuple(args.shape), args.batch, args.iters,
+            batch_size=fbatch, sparse_align_train=True,
+            **VARIANTS[name])
+        dt = measure(conf, tuple(args.shape), fbatch, args.iters,
                      args.donate, args.bg_bias,
                      f"flagship {args.flagship_final}")
         out = {
             "metric": "train_step_ms",
             "value": round(dt * 1e3, 2),
             "unit": "ms",
-            "images_per_sec_per_chip": round(args.batch / dt, 2),
+            "images_per_sec_per_chip": round(fbatch / dt, 2),
             "config": (f"dla102+ANAB+align @ {args.shape[0]}x{args.shape[1]} "
-                       f"bs={args.batch} bf16, sparse_align_train, "
-                       f"variant={args.flagship_final}, donate={args.donate}"),
+                       f"bs={fbatch} bf16, sparse_align_train, "
+                       f"variant={name}, donate={args.donate}"),
         }
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "TRAINBENCH.json")
