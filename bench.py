@@ -58,6 +58,9 @@ def main():
     from m3dssd_tpu.models import build
 
     conf = _flagship_conf(SHAPE)
+    # isolation knob: BENCH_SPARSE_NMS=0 disables pre-NMS compaction
+    if os.environ.get("BENCH_SPARSE_NMS", "1") == "0":
+        conf = conf.replace(nms_sparse_topm=0)
     model = build(conf)
     rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
 

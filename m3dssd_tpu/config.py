@@ -152,7 +152,13 @@ class Config:
     # suppression only ever flows from higher- to lower-scored boxes, so
     # removing sub-threshold candidates cannot change the surviving
     # above-threshold set. Padding rows carry score -1.
-    nms_sparse_topm: int = 2048
+    # DEFAULT OFF by measurement (2026-08-18, PERF.md): the dense
+    # decode+NMS is already cheap on TPU — flagship 512x1760 measured
+    # 103.2 -> 97.1 im/s at bs=8 with this on (compaction + cond
+    # materialization outweigh the savings) and only noise-level change at
+    # bs=1 (10.86 -> 10.79 ms). Kept as an equality-tested probe
+    # (tests/test_sparse_nms.py), like ops/dcn_pallas.py.
+    nms_sparse_topm: int = 0
 
     test_protocol: str = "kitti"
     test_db: str = "kitti"
