@@ -80,12 +80,15 @@ def measure(conf, shape, batch, iters, donate, bg_bias, tag):
 
     t0 = time.perf_counter()
     state, stats = step(state, b, rng)      # compile + warmup
-    jax.block_until_ready(stats["loss"])
+    jax.block_until_ready((state, stats))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         state, stats = step(state, b, rng)
-    jax.block_until_ready(stats["loss"])
+    # block on the WHOLE state: the runtime can signal the loss buffer
+    # before the optimizer update finishes (observed: a bs=16 remat variant
+    # "measured" 8.6 ms/step when only the loss was awaited)
+    jax.block_until_ready((state, stats))
     dt = (time.perf_counter() - t0) / iters
     print(f"[{tag}] {dt * 1e3:8.2f} ms/step  ({B / dt:6.2f} im/s)  "
           f"loss={float(stats['loss']):.4f}  compile {compile_s:.0f}s",
