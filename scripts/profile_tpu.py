@@ -138,16 +138,29 @@ def main():
             v = dict(v)
             v["params"] = bias_background(v["params"], conf.num_classes,
                                           args.bg_bias)
-        detect = make_detector(conf, rois, model)
-        x = jnp.zeros((1, *args.shape, 3), jnp.float32)
-        if args.trace:
-            detect(v["params"], v.get("batch_stats", {}), x, np.float32(1.0))
-            with jax.profiler.trace(args.trace):
-                timeit("detect bs=1", detect, v["params"],
-                       v.get("batch_stats", {}), x, np.float32(1.0))
+        p, bs = v["params"], v.get("batch_stats", {})
+        B = args.batch
+        packed = conf.stem_s2d and all(s % 2 == 0 for s in args.shape)
+        x = np.zeros((B, *args.shape, 3), np.float32)
+        if packed:
+            from m3dssd_tpu.models.dla import space_to_depth_np
+            x = space_to_depth_np(x)
+        x = jnp.asarray(x)
+        if B > 1:
+            # bench.py's batched configuration (host-packed input)
+            from m3dssd_tpu.inference.detect import make_batch_detector
+            detect = make_batch_detector(conf, rois, model,
+                                         packed_input=packed)
+            sf = jnp.ones((B,), jnp.float32)
         else:
-            timeit("detect bs=1", detect, v["params"],
-                   v.get("batch_stats", {}), x, np.float32(1.0))
+            detect = make_detector(conf, rois, model, packed_input=packed)
+            sf = np.float32(1.0)
+        if args.trace:
+            detect(p, bs, x, sf)
+            with jax.profiler.trace(args.trace):
+                timeit(f"detect bs={B}", detect, p, bs, x, sf)
+        else:
+            timeit(f"detect bs={B}", detect, p, bs, x, sf)
 
 
 if __name__ == "__main__":
