@@ -144,9 +144,15 @@ class ShapeAlign(nn.Module):
         B, H, W, C = x.shape
         K = self.kernel
         if self.k == 1 and sparse_sel is not None:
-            aligned = jax.lax.cond(sparse_sel.ok,
-                                   lambda: self._sparse(x, sparse_sel),
-                                   lambda: self._dense(x, sparse_sel))
+            # the dense expression mask*conv3x3(x)+b is hoisted OUT of the
+            # cond: it fuses with its surroundings and the cond body is only
+            # the top-M correction (or, on overflow, the full deformable
+            # path, which ignores `base` — one wasted conv in that regime)
+            base = self._base(x, sparse_sel)
+            aligned = jax.lax.cond(
+                sparse_sel.ok,
+                lambda: self._sparse_correct(base, x, sparse_sel),
+                lambda: self._dense(x, sparse_sel))
             return aligned + x
         if self.k == 1:
             # the offset field is a CONSTANT per-anchor table: select rows
@@ -181,11 +187,26 @@ class ShapeAlign(nn.Module):
         return dcn_v2(x, offset, dcn_mask, self.weight.astype(x.dtype),
                       self.bias.astype(x.dtype), stride=1, padding=K // 2)
 
-    def _sparse(self, x, sel: SparseSel):
-        """Dense `mask*conv3x3(x)+b` + gather/scatter correction at the
-        top-M confident positions. Exact vs `_dense` (modulo float
-        reassociation): at non-confident positions the offsets are zero so
-        the deformable sampling IS the rigid 3x3 grid."""
+    def _base(self, x, sel: SparseSel):
+        """The zero-offset collapse `mask*conv3x3(x)+b` (see _sparse_correct)."""
+        K = self.kernel
+        pad = K // 2
+        w = self.weight.astype(x.dtype)
+        bias = self.bias.astype(x.dtype)
+        # NOTE: no preferred_element_type here — the MXU accumulates convs
+        # in f32 regardless, and JAX's conv transpose rule (unlike
+        # dot_general's) rejects a widened output dtype against bf16
+        # operands when differentiated
+        base = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return sel.mask.astype(x.dtype) * base + bias
+
+    def _sparse_correct(self, dense, x, sel: SparseSel):
+        """Gather/scatter correction of the hoisted dense base at the top-M
+        confident positions. Exact vs `_dense` (modulo float reassociation):
+        at non-confident positions the offsets are zero so the deformable
+        sampling IS the rigid 3x3 grid."""
         B, H, W, C = x.shape
         K = self.kernel
         KK = K * K
@@ -194,15 +215,6 @@ class ShapeAlign(nn.Module):
         bias = self.bias.astype(x.dtype)
         f32 = jnp.float32
         acc_t = jnp.promote_types(x.dtype, f32)
-
-        # NOTE: no preferred_element_type here — the MXU accumulates convs
-        # in f32 regardless, and JAX's conv transpose rule (unlike
-        # dot_general's) rejects a widened output dtype against bf16
-        # operands when differentiated
-        base = jax.lax.conv_general_dilated(
-            x, w, (1, 1), [(pad, pad), (pad, pad)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        dense = sel.mask.astype(x.dtype) * base + bias
 
         pos = sel.pos
         M = pos.shape[0]
@@ -259,9 +271,12 @@ class CenterAlign(nn.Module):
                  sparse_sel: Optional[SparseSel] = None):
         """bbox_x/bbox_y: per-anchor whitened delta predictions [B,H,W,A]."""
         if self.k == 1 and self.kernel == 1 and sparse_sel is not None:
+            # dense base hoisted out of the cond (see ShapeAlign.__call__)
+            base = self._base(x, sparse_sel)
             aligned = jax.lax.cond(
                 sparse_sel.ok,
-                lambda: self._sparse(x, bbox_x, bbox_y, sparse_sel),
+                lambda: self._sparse_correct(base, x, bbox_x, bbox_y,
+                                             sparse_sel),
                 lambda: self._dense(x, bbox_x, bbox_y, prob))
             return aligned + x
         aligned = self._dense(x, bbox_x, bbox_y, prob)
@@ -283,21 +298,27 @@ class CenterAlign(nn.Module):
         return dcn_v2(x, offset, dcn_mask, self.weight.astype(x.dtype),
                       self.bias.astype(x.dtype), stride=1, padding=K // 2)
 
-    def _sparse(self, x, bbox_x, bbox_y, sel: SparseSel):
-        """1x1 deformable tap as `mask*(x@W)+b` (NO gather at all in the
-        dense part — a zero offset on a 1x1 kernel is the identity sample)
-        plus a bilinear correction at the top-M confident positions."""
+    def _base(self, x, sel: SparseSel):
+        """The zero-offset collapse `mask*(x@W)+b` — NO gather at all (a
+        zero offset on a 1x1 kernel is the identity sample). [B*H*W, Cout]."""
+        B, H, W, C = x.shape
+        acc_t = jnp.promote_types(x.dtype, jnp.float32)
+        w = self.weight.astype(x.dtype).reshape(C, -1)          # [C,Cout]
+        bias = self.bias.astype(x.dtype)
+        base = jax.lax.dot_general(x.reshape(B * H * W, C), w,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=acc_t)
+        return (sel.mask.reshape(-1, 1).astype(x.dtype)
+                * base.astype(x.dtype) + bias)
+
+    def _sparse_correct(self, dense, x, bbox_x, bbox_y, sel: SparseSel):
+        """Bilinear correction of the hoisted dense base at the top-M
+        confident positions."""
         B, H, W, C = x.shape
         f32 = jnp.float32
         acc_t = jnp.promote_types(x.dtype, f32)
         w = self.weight.astype(x.dtype).reshape(C, -1)          # [C,Cout]
         bias = self.bias.astype(x.dtype)
-
-        base = jax.lax.dot_general(x.reshape(B * H * W, C), w,
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=acc_t)
-        dense = (sel.mask.reshape(-1, 1).astype(x.dtype)
-                 * base.astype(x.dtype) + bias)
 
         pos = sel.pos
         bi, yy, xx = _flat_coords(pos, B, H, W)
