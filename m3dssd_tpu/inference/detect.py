@@ -52,8 +52,33 @@ def _compact_above(scores, thresh: float, m: int):
     return idx.astype(jnp.int32), cnt <= m
 
 
+def _compact_positions(scores, A: int, thresh: float, m_pos: int):
+    """Position-level first-m compaction: candidate ANCHOR indices of every
+    anchor at positions where max-over-anchors score >= thresh.
+
+    A cumsum over per-anchor flags ([N] = 507k at the flagship eval shape)
+    measured 2.45 ms/step at bs=8 (19 log-passes); reducing over the A
+    anchors first shrinks it 36x, and anchor expansion is index arithmetic.
+    Positions below threshold contain ONLY sub-threshold anchors, so
+    dropping them is exact under the same suppression-order argument as
+    `_compact_above` (retained positions keep ALL their anchors, including
+    sub-threshold ones — also harmless).
+
+    scores [N] ((h,w,a) flat) -> (cand [m_pos*A] int32 anchor indices with
+    sentinel N, ok: scalar bool)."""
+    N = scores.shape[0]
+    HW = N // A
+    posmax = jnp.max(scores.reshape(HW, A), axis=-1)          # [HW]
+    pos, ok = _compact_above(posmax, thresh, m_pos)           # sentinel HW
+    cand = pos[:, None] * A + jnp.arange(A, dtype=jnp.int32)[None, :]
+    cand = jnp.where(pos[:, None] < HW, cand, N)
+    return cand.reshape(-1), ok
+
+
 def _sparse_nms_cfg(conf, rois, use_topk_pre: bool = False):
-    """(m, thresh) for sparse pre-NMS compaction, or (0, _) when disabled.
+    """(m_pos, A, thresh) for sparse pre-NMS compaction, or (0, _, _) when
+    disabled. m_pos is the POSITION budget: conf.nms_sparse_topm candidate
+    anchors / A anchors per position.
 
     Sound only when downstream consumers drop rows below conf.score_thres
     (the framework's test driver does — postprocess_dets): greedy NMS
@@ -64,9 +89,11 @@ def _sparse_nms_cfg(conf, rois, use_topk_pre: bool = False):
     reference mode) and for non-positive thresholds."""
     m = int(getattr(conf, "nms_sparse_topm", 0))
     thresh = float(getattr(conf, "score_thres", 0.0))
+    A = int(np.asarray(conf.anchors).shape[0])
     if use_topk_pre or thresh <= 0.0 or m <= 0:
-        return 0, thresh
-    return min(m, rois.shape[0]), thresh
+        return 0, A, thresh
+    m_pos = min(max(m // A, 16), rois.shape[0] // A)
+    return m_pos, A, thresh
 
 
 def packed_input_eligible(conf) -> bool:
@@ -108,7 +135,7 @@ def make_detector(conf, rois: np.ndarray, model=None,
     src3d_t = jnp.asarray(np.asarray(conf.anchors)[tracker_np, 4:9].T,
                           jnp.float32)                      # [5, N]
 
-    sparse_m, sparse_thresh = _sparse_nms_cfg(conf, rois, use_topk_pre)
+    sparse_mpos, A, sparse_thresh = _sparse_nms_cfg(conf, rois, use_topk_pre)
 
     def _finish(top_scores, rk, sk, cls_k, d2, d3, scale_factor):
         coords_2d = bbox_transform_inv_t(rk, d2, means_c[0:4], stds_c[0:4])
@@ -152,8 +179,9 @@ def make_detector(conf, rois: np.ndarray, model=None,
             cls_k = cls_pred[top_idx]
             return _finish(top_scores, rk, sk, cls_k, d2, d3, scale_factor)
 
-        if sparse_m:
-            idx, ok = _compact_above(scores, sparse_thresh, sparse_m)
+        if sparse_mpos:
+            idx, ok = _compact_positions(scores, A, sparse_thresh,
+                                         sparse_mpos)
 
             def _sparse():
                 sc = jnp.take(scores, idx, mode="fill", fill_value=-1.0)
@@ -208,7 +236,7 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
     src3d_t = jnp.asarray(np.asarray(conf.anchors)[tracker_np, 4:9].T,
                           jnp.float32)
 
-    sparse_m, sparse_thresh = _sparse_nms_cfg(conf, rois)
+    sparse_mpos, A, sparse_thresh = _sparse_nms_cfg(conf, rois)
 
     def _one(scores, cls_pred, rk, sk, d2, d3, scale_factor):
         coords_2d = bbox_transform_inv_t(rk, d2, means_c[0:4],
@@ -238,13 +266,14 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
             return jax.vmap(_one, in_axes=(0, 0, None, None, 0, 0, 0))(
                 scores, cls_pred, rois_t, src3d_t, d2, d3, sfs)
 
-        if not sparse_m:
+        if not sparse_mpos:
             return _dense()
 
         B, N = scores.shape
-        M = sparse_m
+        M = sparse_mpos * A
         idx, oks = jax.vmap(
-            lambda s: _compact_above(s, sparse_thresh, M))(scores)
+            lambda s: _compact_positions(s, A, sparse_thresh,
+                                         sparse_mpos))(scores)
 
         def _sparse():
             # flat gathers with the batch offset folded in (sentinel idx N

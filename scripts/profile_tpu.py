@@ -30,6 +30,8 @@ def main():
                         "(conf.sparse_align_train)")
     p.add_argument("--dense_align", action="store_true",
                    help="disable sparse alignment (conf.sparse_align_topm=0)")
+    p.add_argument("--sparse_nms", type=int, default=None,
+                   help="set conf.nms_sparse_topm (eval profiling)")
     p.add_argument("--remat_dcn", action="store_true",
                    help="jax.checkpoint around the neck shift-DCNs")
     p.add_argument("--remat_towers", action="store_true",
@@ -61,6 +63,8 @@ def main():
         conf = conf.replace(remat_dcn=True)
     if args.remat_towers:
         conf = conf.replace(remat_towers=True)
+    if args.sparse_nms is not None:
+        conf = conf.replace(nms_sparse_topm=args.sparse_nms)
     model = build(conf)
     rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
     rng = jax.random.PRNGKey(0)

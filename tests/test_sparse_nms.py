@@ -61,19 +61,19 @@ def test_sparse_nms_matches_dense_kept_rows(synthetic_kitti, tiny_conf,
     imgs = np.stack([val[i % len(val)]["input"] for i in range(2)], axis=0)
     sfs = np.ones(2, np.float32)
 
-    # pick a threshold that ~30 positions of THIS random init clear
-    probe = make_batch_detector(conf0.replace(nms_sparse_topm=0), ds.rois,
-                                model)
-    scores = None
+    # pick a threshold that ~30 anchors of THIS random init clear; the
+    # position budget (nms_sparse_topm // A, floor 16) must cover the
+    # <=30 positions those anchors occupy so the sparse branch runs
     out = model.apply({"params": p, "batch_stats": bs},
                       jnp.asarray(imgs), train=False)
     scores = np.asarray(out["scores"])
     thresh = float(np.quantile(scores, 1.0 - 30.0 / scores[0].size))
-    n_above = int((scores >= thresh).sum(axis=1).max())
-    assert 0 < n_above < 128
+    A = ds.rois[:, 4].astype(int).max() + 1
+    n_pos = int((scores.reshape(2, -1, A) >= thresh).any(-1).sum(1).max())
+    assert 0 < n_pos < 2048 // A + 16
 
     dense_conf = conf0.replace(nms_sparse_topm=0, score_thres=thresh)
-    sparse_conf = conf0.replace(nms_sparse_topm=128, score_thres=thresh)
+    sparse_conf = conf0.replace(nms_sparse_topm=2048, score_thres=thresh)
     if batched:
         d_dense = make_batch_detector(dense_conf, ds.rois, model)
         d_sparse = make_batch_detector(sparse_conf, ds.rois, model)
@@ -136,7 +136,7 @@ def test_sparse_nms_driver_txts_identical(synthetic_kitti, tiny_conf,
     thresh = float(np.quantile(scores, 1.0 - 30.0 / scores[0].size))
 
     res = {}
-    for name, m in [("dense", 0), ("sparse", 256)]:
+    for name, m in [("dense", 0), ("sparse", 2048)]:
         conf = conf0.replace(nms_sparse_topm=m, score_thres=thresh)
         path = str(tmp_path / name)
         test_kitti_3d(val, make_batch_detector(conf, ds.rois, model), p, bs,
