@@ -19,6 +19,9 @@ def main():
     p.add_argument("--data_root", required=True)
     p.add_argument("--poll_sec", type=float, default=60.0)
     p.add_argument("--max_polls", type=int, default=0, help="0 = forever")
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help="shard batched eval over this many devices "
+                        "(see scripts/test.py)")
     args = p.parse_args()
 
     import jax
@@ -39,7 +42,15 @@ def main():
     eval_bs = max(int(getattr(conf, "eval_batch_size", 1)), 1)
     from m3dssd_tpu.inference.detect import packed_input_eligible
     packed = packed_input_eligible(conf)
-    if eval_bs > 1:
+    if args.mesh_devices > 1:
+        from m3dssd_tpu.inference.detect import make_batch_detector
+        from m3dssd_tpu.parallel import make_mesh
+        if eval_bs % args.mesh_devices:
+            eval_bs = args.mesh_devices * max(
+                1, round(eval_bs / args.mesh_devices))
+        detect = make_batch_detector(conf, rois, model, packed_input=packed,
+                                     mesh=make_mesh(args.mesh_devices))
+    elif eval_bs > 1:
         from m3dssd_tpu.inference.detect import make_batch_detector
         detect = make_batch_detector(conf, rois, model, packed_input=packed)
     else:
