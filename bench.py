@@ -58,9 +58,11 @@ def main():
     from m3dssd_tpu.models import build
 
     conf = _flagship_conf(SHAPE)
-    # isolation knob: BENCH_SPARSE_NMS=0 disables pre-NMS compaction
-    if os.environ.get("BENCH_SPARSE_NMS", "1") == "0":
-        conf = conf.replace(nms_sparse_topm=0)
+    # isolation knob: BENCH_SPARSE_NMS=<M> sets the pre-NMS compaction
+    # budget (default off per config.py; measured slower — PERF.md)
+    snms = int(os.environ.get("BENCH_SPARSE_NMS", "-1"))
+    if snms >= 0:
+        conf = conf.replace(nms_sparse_topm=snms)
     model = build(conf)
     rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
 

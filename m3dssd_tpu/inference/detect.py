@@ -37,19 +37,12 @@ def _clip_dets_2d(box, scale_factor, test_scale):
 
 
 def _compact_above(scores, thresh: float, m: int):
-    """First-m compaction of candidate indices with score >= thresh.
-
-    Compaction, not sorting (same machinery as models/align.confident_topm):
-    cumsum of the threshold flags assigns each passing candidate its output
-    slot; `searchsorted` inverts the (monotone) map with log2(N) gathers.
+    """First-m compaction of candidate indices with score >= thresh
+    (ops/compact.py:first_m_true — shared with models/align.confident_topm).
     scores [N] -> (idx [m] int32 with sentinel N in unused slots,
     ok: scalar bool, count <= m)."""
-    flags = scores >= thresh
-    ranks = jnp.cumsum(flags.astype(jnp.int32))
-    cnt = ranks[-1]
-    idx = jnp.searchsorted(ranks, jnp.arange(1, m + 1, dtype=jnp.int32),
-                           side="left")
-    return idx.astype(jnp.int32), cnt <= m
+    from ..ops.compact import first_m_true
+    return first_m_true(scores >= thresh, m)
 
 
 def _compact_positions(scores, A: int, thresh: float, m_pos: int):

@@ -59,17 +59,15 @@ def confident_topm(prob, thresh: float, m_per_image: int) -> SparseSel:
     full `lax.top_k` over B*H*W scores lowers through TPU sort machinery
     (~20 ms at 507k rows, PERF.md) and is never needed for exactness.
     """
+    from ..ops.compact import first_m_true
+
     B, H, W, A = prob.shape
     prob = jax.lax.stop_gradient(prob)
     mask = jnp.max(prob, axis=-1, keepdims=True)
     ind = jnp.argmax(prob, axis=-1)
     M = int(min(m_per_image * B, B * H * W))
-    flags = (mask[..., 0] > thresh).reshape(-1)
-    ranks = jnp.cumsum(flags.astype(jnp.int32))
-    cnt = ranks[-1]
-    pos = jnp.searchsorted(ranks, jnp.arange(1, M + 1, dtype=jnp.int32),
-                           side="left")
-    return SparseSel(pos.astype(jnp.int32), cnt <= M, mask, ind)
+    pos, ok = first_m_true((mask[..., 0] > thresh).reshape(-1), M)
+    return SparseSel(pos, ok, mask, ind)
 
 
 def _flat_coords(pos, B, H, W):

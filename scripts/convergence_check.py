@@ -133,14 +133,21 @@ def main():
     # augmented frame that no longer matches the gt labels)
     train_ds = Kitti3DDataset(conf, data_root, phase="val_train")
     packed = packed_input_eligible(conf)
-    det = make_batch_detector(conf, trainer.dataset.rois, trainer.model,
-                              packed_input=packed)
+    # the single-image driver path needs a single-image detector
+    eval_bs = max(int(getattr(conf, "eval_batch_size", 1)), 1)
+    if eval_bs > 1:
+        det = make_batch_detector(conf, trainer.dataset.rois, trainer.model,
+                                  packed_input=packed)
+    else:
+        from m3dssd_tpu.inference.detect import make_detector
+        det = make_detector(conf, trainer.dataset.rois, trainer.model,
+                            packed_input=packed)
     res_train, sel_train = test_kitti_3d(
         train_ds, det, trainer.state.params, trainer.state.batch_stats, conf,
         os.path.join(out, "results", "train_split", "data"),
         gt_path=os.path.join(data_root, "kitti_split1", "training",
                              "label_2"),
-        batch_size=conf.eval_batch_size, packed_input=packed)
+        batch_size=eval_bs, packed_input=packed)
 
     report = {
         "val_trajectory": trajectory,

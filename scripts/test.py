@@ -97,8 +97,10 @@ def main():
         results = os.path.join(args.run_dir, "results",
                                f"results_test_{step}", "data")
     from m3dssd_tpu.data.kitti import _PHASE_DIR
-    gt_path = os.path.join(args.data_root,
-                           conf.datasets_validation[0]["name"],
+    # gt must come from the same dataset list the imdb was built from
+    db = (conf.datasets_train if args.phase in ("train", "val_train")
+          else conf.datasets_validation)[0]
+    gt_path = os.path.join(args.data_root, db["name"],
                            _PHASE_DIR.get(args.phase, args.phase), "label_2")
     res, sel = test_kitti_3d(dataset, detect, state.params, state.batch_stats,
                              conf, results,

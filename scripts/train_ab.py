@@ -135,7 +135,9 @@ def main():
                                       backbone=args.backbone).replace(
                     batch_size=b,
                     sparse_align_train=True, **VARIANTS[name])
-                key = name if len(batches) == 1 else f"{name}@bs{b}"
+                # always tag sweep keys so --flagship_final auto re-measures
+                # at the swept batch, not the --batch default
+                key = f"{name}@bs{b}" if args.batch_sweep else name
                 results[key] = measure(conf, tuple(args.shape), b,
                                        args.iters, args.donate, args.bg_bias,
                                        f"{args.backbone} {key}")
