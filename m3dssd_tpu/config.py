@@ -218,6 +218,13 @@ class Config:
     # ---------------------------------------------------------------- parallel
     # data-parallel mesh size; -1 means "all local devices"
     dp_devices: int = -1
+    # extra mesh axes (beyond the reference's DP-only story; parallel/mesh.py):
+    # mesh_spatial > 1 shards image height (+ h-major anchor targets) over a
+    # 'spatial' axis; mesh_model > 1 shards wide parameters' output channels
+    # over a 'model' axis (Megatron-style TP — param+optimizer memory/device
+    # drops ~1/mp). dp x spatial x model must divide the device count.
+    mesh_spatial: int = 1
+    mesh_model: int = 1
 
     # ------------------------------------------------------------- derived
     @property

@@ -199,7 +199,8 @@ def make_detector(conf, rois: np.ndarray, model=None,
 
 
 def make_batch_detector(conf, rois: np.ndarray, model=None,
-                        packed_input: bool = False, mesh=None):
+                        packed_input: bool = False, mesh=None,
+                        follow_params_sharding: bool = False):
     """Batched variant: `detect(params, batch_stats, images [B,H,W,3],
     scale_factors [B]) -> dets [B, top_post, 14]`.
 
@@ -215,6 +216,12 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
     are replicated; host inputs are placed automatically by the jit
     shardings (single-process meshes — multi-process callers should
     pre-place with parallel.shard_batch/replicate_state).
+
+    `follow_params_sharding`: leave the params/batch_stats in_shardings
+    unspecified so already-committed device arrays keep their placement —
+    used when eval rides a tensor-parallel ('model'-axis) training mesh,
+    where wide params are channel-sharded and forcing P() would all-gather
+    them every call.
     """
     rois_t = jnp.asarray(rois[:, :5].T, jnp.float32)
     means_c = jnp.asarray(conf.bbox_means, jnp.float32).reshape(-1)
@@ -314,9 +321,12 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
                                  if sp > 1 and h_in % sp == 0
                                  else P(DATA_AXIS))
     repl = NamedSharding(mesh, P())
+    # None = "infer from the committed argument" (TP-sharded params pass
+    # through); explicit P() replication otherwise (host numpy params)
+    param_shd = None if follow_params_sharding else repl
     jitted = jax.jit(
         detect,
-        in_shardings=(repl, repl, img_sharding,
+        in_shardings=(param_shd, param_shd, img_sharding,
                       NamedSharding(mesh, P(DATA_AXIS))),
         out_shardings=NamedSharding(mesh, P(DATA_AXIS)))
 

@@ -16,6 +16,15 @@ order is (h, w, a) — h-major (anchors.locate_anchors) — the flattened
 resharding between the backbone and the loss. Useful when single-image
 activation memory (not batch) is the limiting factor, e.g. very large
 input resolutions.
+
+A third optional 'model' axis tensor-parallelizes the network itself:
+every parameter whose trailing (output-channel) dim is wide enough shards
+over 'model' — conv kernels [kh,kw,cin,cout] split their cout, and the
+matching bias / BN scale / running stats split the same channel axis, so
+each device holds 1/mp of the wide layers' weights AND optimizer momentum.
+XLA GSPMD derives the activation shardings and inserts the all-gathers /
+reduce-scatters; correctness is by construction (loss-equality tested on
+a dp×sp×tp CPU mesh). Use when parameter+optimizer memory is the limit.
 """
 
 from __future__ import annotations
@@ -28,28 +37,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
+MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: int = -1, axis: str = DATA_AXIS,
-              spatial: int = 1) -> Mesh:
+              spatial: int = 1, model: int = 1) -> Mesh:
     """Device mesh over the first `n_devices` devices.
 
-    spatial=1 (default): 1-D data-parallel mesh (reference parity).
-    spatial>1: 2-D ('data', 'spatial') mesh; images additionally shard
-    their height across `spatial` devices.
+    spatial=1, model=1 (default): 1-D data-parallel mesh (reference parity).
+    spatial>1: adds a 'spatial' axis; images shard their height across it.
+    model>1: adds a 'model' axis; wide parameters shard their output
+    channels across it (see `replicate_state`).
+    Axes with extent 1 are omitted, so existing 1-D/2-D callers see the
+    same mesh shapes as before.
     """
     devices = jax.devices()
     if n_devices in (-1, 0, None):
         n_devices = len(devices)
-    if spatial <= 1:
-        return Mesh(np.array(devices[:n_devices]), (axis,))
-    assert n_devices % spatial == 0, (n_devices, spatial)
-    arr = np.array(devices[:n_devices]).reshape(n_devices // spatial, spatial)
-    return Mesh(arr, (axis, SPATIAL_AXIS))
+    spatial = max(spatial, 1)
+    model = max(model, 1)
+    assert n_devices % (spatial * model) == 0, (n_devices, spatial, model)
+    dims = [(axis, n_devices // (spatial * model)),
+            (SPATIAL_AXIS, spatial), (MODEL_AXIS, model)]
+    dims = [(name, ext) for name, ext in dims
+            if ext > 1 or name == axis]          # keep 'data' even at 1
+    arr = np.array(devices[:n_devices]).reshape([e for _, e in dims])
+    return Mesh(arr, tuple(name for name, _ in dims))
 
 
 def _spatial_size(mesh: Mesh) -> int:
     return mesh.shape.get(SPATIAL_AXIS, 1)
+
+
+def _model_size(mesh: Mesh) -> int:
+    return mesh.shape.get(MODEL_AXIS, 1)
 
 
 def _spans_processes(mesh: Mesh) -> bool:
@@ -108,9 +129,25 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = DATA_AXIS):
     return jax.tree_util.tree_map(put, batch)
 
 
-def replicate_state(mesh: Mesh, state):
-    """Replicate a pytree (train state) across the mesh (multi-host aware:
-    every process holds identical values — deterministic init/restore)."""
+def replicate_state(mesh: Mesh, state, min_model_dim: int = 128):
+    """Place a pytree (train state) onto the mesh (multi-host aware:
+    every process holds identical values — deterministic init/restore).
+
+    Without a 'model' axis every leaf is replicated (reference DP parity).
+    With one, any leaf whose trailing dim is >= `min_model_dim` and divides
+    the axis shards that dim over 'model' — Megatron-style output-channel
+    weight sharding, applied uniformly: conv kernels [kh,kw,cin,cout] split
+    cout; their bias / BN scale / running stats [C] split the same channels;
+    optimizer momentum mirrors its parameter leaf by the same rule. GSPMD
+    derives all activation movement. `min_model_dim` keeps narrow leaves
+    (head towers' 4-class outputs, scalars, step counters) replicated."""
+    mp = _model_size(mesh)
+
     def put(x):
-        return _put(np.asarray(x), mesh, [])
+        x = np.asarray(x)
+        spec = [None] * x.ndim
+        if (mp > 1 and x.ndim >= 1 and x.shape[-1] >= min_model_dim
+                and x.shape[-1] % mp == 0):
+            spec[-1] = MODEL_AXIS
+        return _put(x, mesh, spec)
     return jax.tree_util.tree_map(put, state)

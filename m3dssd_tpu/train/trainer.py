@@ -100,10 +100,13 @@ class Trainer:
 
         self.mesh = None
         if use_mesh and len(jax.devices()) > 1:
-            n = conf.dp_devices if conf.dp_devices > 0 else len(jax.devices())
-            self.mesh = make_mesh(n)
+            sp = max(getattr(conf, "mesh_spatial", 1), 1)
+            mp = max(getattr(conf, "mesh_model", 1), 1)
+            n = conf.dp_devices * sp * mp if conf.dp_devices > 0 \
+                else len(jax.devices())
+            self.mesh = make_mesh(n, spatial=sp, model=mp)
             self.state = replicate_state(self.mesh, self.state)
-            logging.info("data-parallel mesh over %d devices", n)
+            logging.info("mesh over %d devices: %s", n, dict(self.mesh.shape))
         else:
             # single device: upload batches from the prefetch thread so the
             # transfer overlaps the running step (see TrainLoader.to_device)
@@ -159,7 +162,11 @@ class Trainer:
                     and eval_bs % self.mesh.shape["data"] == 0) else None
                 self._eval_detect = make_batch_detector(
                     conf, self.dataset.rois, self.model, packed_input=packed,
-                    mesh=mesh)
+                    mesh=mesh,
+                    # TP mesh: params are channel-sharded over 'model' —
+                    # keep their placement instead of all-gathering
+                    follow_params_sharding=(
+                        mesh is not None and "model" in mesh.shape))
             else:
                 self._eval_detect = make_detector(conf, self.dataset.rois,
                                                   self.model,
@@ -218,15 +225,19 @@ class Trainer:
                 tracker.flush(it, extra=f"epoch {epoch} end dt {dt:.3f}s eta {eta}")
 
             if (epoch + 1) % conf.snapshot_epoch == 0 or epoch + 1 == epochs:
+                # async: the D2H snapshot is taken synchronously, the file
+                # write overlaps the next epoch's steps (utils/checkpoint.py)
                 save_checkpoint(os.path.join(self.output_dir, "weights"),
-                                self.state, it)
+                                self.state, it, async_save=True)
             if conf.do_test and (epoch + 1) % conf.eval_epoch == 0:
                 sel = self._eval(epoch + 1)
                 if sel > self.best_metric:
                     self.best_metric = sel
                     save_checkpoint(os.path.join(self.output_dir, "weights_best"),
-                                    self.state, it)
+                                    self.state, it, async_save=True)
                     logging.info("new best model: %.4f", sel)
+        from ..utils.checkpoint import wait_for_saves
+        wait_for_saves()   # all checkpoints durable before run() returns
         return self.state
 
     def finalize_run_dir(self) -> str:

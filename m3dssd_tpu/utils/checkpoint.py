@@ -22,14 +22,47 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(ckpt_dir: str, state, step: int):
-    """Save {params, batch_stats, opt_state, step} at `ckpt_dir/step_N`."""
+_ASYNC_CKPTR = None
+
+
+def _async_ckptr():
+    """Process-wide AsyncCheckpointer (owns a background write thread)."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves():
+    """Block until all in-flight async checkpoint writes are durable."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int,
+                    async_save: bool = False):
+    """Save {params, batch_stats, opt_state, step} at `ckpt_dir/step_N`.
+
+    `async_save`: return once the device->host snapshot is taken and let the
+    filesystem write proceed on a background thread, overlapping it with the
+    next training steps (safe with donated state: orbax's D2H copy happens
+    synchronously inside `save`). Call `wait_for_saves()` before relying on
+    the files (end of run / before restore). Saves are serialized against
+    any still-in-flight previous save.
+    """
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
     payload = {"params": state.params, "batch_stats": state.batch_stats,
                "opt_state": state.opt_state,
                "step": np.asarray(state.step)}
-    _ckptr().save(path, payload, force=True)
-    logging.info("saved checkpoint %s", path)
+    if async_save:
+        ckptr = _async_ckptr()
+        ckptr.wait_until_finished()     # one save in flight at a time
+        ckptr.save(path, payload, force=True)
+    else:
+        _ckptr().save(path, payload, force=True)
+    logging.info("saved checkpoint %s%s", path,
+                 " (async)" if async_save else "")
     return path
 
 

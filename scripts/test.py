@@ -32,6 +32,10 @@ def main():
     p.add_argument("--mesh_spatial", type=int, default=1,
                    help="with --mesh_devices: also shard image height over "
                         "this many devices (2-D data x spatial mesh)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="with --mesh_devices: tensor-parallel — shard wide "
+                        "parameters' output channels over this many devices "
+                        "(params follow their 'model'-axis placement)")
     args = p.parse_args()
 
     import jax
@@ -80,9 +84,18 @@ def main():
         if eval_bs % args.mesh_devices:
             eval_bs = args.mesh_devices * max(
                 1, round(eval_bs / args.mesh_devices))
-        mesh = make_mesh(args.mesh_devices, spatial=args.mesh_spatial)
+        mesh = make_mesh(args.mesh_devices, spatial=args.mesh_spatial,
+                         model=args.mesh_model)
+        tp = args.mesh_model > 1
+        if tp:
+            # tensor-parallel eval: pre-place params channel-sharded over
+            # 'model' and let the detector follow that placement
+            from m3dssd_tpu.parallel import replicate_state
+            state = state.replace(
+                params=replicate_state(mesh, state.params),
+                batch_stats=replicate_state(mesh, state.batch_stats))
         detect = make_batch_detector(conf, rois, model, packed_input=packed,
-                                     mesh=mesh)
+                                     mesh=mesh, follow_params_sharding=tp)
     elif eval_bs > 1:
         from m3dssd_tpu.inference.detect import make_batch_detector
         detect = make_batch_detector(conf, rois, model, packed_input=packed)

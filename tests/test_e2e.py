@@ -96,6 +96,20 @@ def test_checkpoint_roundtrip(tiny_conf, tmp_path):
     b = jax.tree_util.tree_leaves(state.params)
     assert all(np.allclose(x, y) for x, y in zip(a, b))
 
+    # async save (trainer path): returns after the D2H snapshot, the file
+    # write lands in the background; after wait_for_saves the checkpoint
+    # restores bit-identically even if the live state mutated meanwhile
+    from m3dssd_tpu.utils.checkpoint import wait_for_saves
+    ckpt2 = str(tmp_path / "weights_async")
+    save_checkpoint(ckpt2, state, 9, async_save=True)
+    state_mut = state.replace(
+        params=jax.tree_util.tree_map(lambda x: x * 0.0, state.params))
+    wait_for_saves()
+    assert latest_step(ckpt2) == 9
+    restored2 = restore_checkpoint(ckpt2, state_mut)
+    a2 = jax.tree_util.tree_leaves(restored2.params)
+    assert all(np.allclose(x, y) for x, y in zip(a2, b))
+
 
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
@@ -316,6 +330,20 @@ def test_mesh_batch_detector_matches_unsharded(synthetic_kitti, tiny_conf):
         out = np.asarray(det(p, bs, imgs, sfs))
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3,
                                    err_msg=f"spatial={spatial}")
+
+    # tensor-parallel: wide params channel-sharded over 'model', detector
+    # follows their placement (no per-call all-gather of the weights)
+    from m3dssd_tpu.parallel import replicate_state
+    mesh_tp = make_mesh(8, model=2)
+    p_tp = replicate_state(mesh_tp, p, min_model_dim=32)
+    bs_tp = replicate_state(mesh_tp, bs, min_model_dim=32)
+    assert any("model" in str(x.sharding.spec)
+               for x in jax.tree_util.tree_leaves(p_tp))
+    det = make_batch_detector(conf, ds.rois, model, mesh=mesh_tp,
+                              follow_params_sharding=True)
+    out = np.asarray(det(p_tp, bs_tp, imgs, sfs))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3,
+                               err_msg="model=2")
 
 
 def test_mesh_batched_driver_writes_identical_txts(synthetic_kitti,

@@ -357,6 +357,50 @@ def test_train_step_on_2d_data_spatial_mesh(tiny_train_setup):
     np.testing.assert_allclose(loss_2d, loss_dp, rtol=1e-4)
 
 
+def test_train_step_on_3d_dp_sp_tp_mesh(tiny_train_setup):
+    """DP x SP x TP: wide parameters additionally shard their output
+    channels over a 'model' axis (Megatron-style weight sharding, GSPMD
+    derives the collectives). Loss must match the DP-only value and the
+    wide leaves must really be model-sharded."""
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from m3dssd_tpu.train.state import create_train_state, make_train_step
+
+    conf, ds, loader = tiny_train_setup
+    conf = conf.replace(warmup=0.0)
+    model = build(conf)
+    state = create_train_state(conf, model, jax.random.PRNGKey(0),
+                               max_iter=100)
+    train_step = make_train_step(conf, ds.rois)
+
+    batch = next(iter(loader.batches(1)))
+    batch4 = {k: np.concatenate([np.asarray(v)] * 2, axis=0)
+              for k, v in batch.items()}
+
+    mesh_dp = make_mesh(4)
+    with mesh_dp:
+        s = shard_batch(mesh_dp, batch4)
+        st = replicate_state(mesh_dp, state)
+        _, stats_dp = train_step(st, s, jax.random.PRNGKey(1))
+    loss_dp = float(stats_dp["loss"])
+
+    mesh_3d = make_mesh(8, spatial=2, model=2)
+    assert dict(mesh_3d.shape) == {"data": 2, "spatial": 2, "model": 2}
+    with mesh_3d:
+        s = shard_batch(mesh_3d, batch4)
+        # use a low floor so the tiny test model has shardable leaves
+        st = replicate_state(mesh_3d, state, min_model_dim=32)
+        wide = [x for x in jax.tree_util.tree_leaves(st.params)
+                if x.ndim >= 1 and x.shape[-1] >= 32]
+        assert wide and all("model" in str(x.sharding.spec) for x in wide)
+        new_state, stats_3d = train_step(st, s, jax.random.PRNGKey(1))
+    loss_3d = float(stats_3d["loss"])
+    np.testing.assert_allclose(loss_3d, loss_dp, rtol=1e-4)
+    # updated params stay usable (finite) after a TP step
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(new_state.params))
+
+
 def test_device_target_train_step_matches_host(synthetic_kitti, tiny_conf):
     """pre_compute_target=False: the train step assigns targets on-device
     from padded gts (targets.build_gt_arrays -> ops/targets_device.py inside
