@@ -143,6 +143,13 @@ class Trainer:
 
     def _eval(self, epoch: int) -> float:
         conf = self.conf
+        # testing-protocol gate (ref:scripts/train_rpn_3d.py:282-300): only
+        # the kitti protocol is understood; anything else warns and skips
+        # the in-training eval (never becomes the best model)
+        if getattr(conf, "test_protocol", "kitti").lower() != "kitti":
+            logging.warning("Testing protocol %s not understood — skipping "
+                            "eval", conf.test_protocol)
+            return -1.0
         if self.val_dataset is None:
             self.val_dataset = Kitti3DDataset(conf, self.data_root,
                                               phase="validation")

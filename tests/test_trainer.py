@@ -135,3 +135,14 @@ def test_trainer_eval_rides_training_mesh(synthetic_kitti, tiny_conf,
     sel8 = tr8._eval(epoch=1)
     assert np.isfinite(sel8)
     assert tr8._eval_detect.input_sharding is not None
+
+
+def test_eval_protocol_gate(synthetic_kitti, tiny_conf, tmp_path):
+    """Unknown test_protocol warns and skips the in-training eval instead of
+    running the KITTI evaluator (ref:scripts/train_rpn_3d.py:282-300)."""
+    tr = _mk_trainer(synthetic_kitti, tiny_conf, tmp_path / "run",
+                     test_protocol="nuscenes")
+    sel = tr._eval(1)
+    assert sel == -1.0
+    assert tr.val_dataset is None          # eval machinery never touched
+    assert not (sel > tr.best_metric)      # can never become the best model
