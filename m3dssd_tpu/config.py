@@ -52,6 +52,11 @@ class Config:
     #                  256-wide hidden activations per tower in backward)
     remat_dcn: bool = False
     remat_towers: bool = False
+    # hand-written transpose for the shifted-MAC DCN backward
+    # (ops/dcn.py:_dcn_shift_core_bwd): input-only residuals (no stored
+    # im2col columns) + a shared C-dot table for the offset/mask grads.
+    # Grad-equality vs autodiff is tested; False = XLA autodiff (A/B knob).
+    dcn_custom_vjp: bool = True
     # skip the logging-only per-step loss stats (class-accuracy argmax +
     # the two full 3D decodes behind err_z/err_ry). Training math is
     # identical; default False = reference stats protocol
@@ -159,6 +164,19 @@ class Config:
     # bs=1 (10.86 -> 10.79 ms). Kept as an equality-tested probe
     # (tests/test_sparse_nms.py), like ops/dcn_pallas.py.
     nms_sparse_topm: int = 0
+    # stop the sequential NMS selection once the best remaining score drops
+    # below score_thres (ops/nms.py nms_select_t stop_below). Exact for
+    # every detection the framework emits — same argument as
+    # nms_sparse_topm above: the driver drops sub-threshold rows, and a
+    # sub-threshold box can never suppress a higher-scoring one. Real
+    # images carry a handful of above-threshold detections, so the 40
+    # sequential rounds (~6 ms/step at bs=8, PERF.md) shrink to 1-10.
+    nms_score_stop: bool = True
+    # resolve greedy NMS on the compacted sparse candidates by parallel
+    # bitmask fixpoint rounds instead of sequential argmax rounds
+    # (ops/nms.py nms_bitmask_select_t; only takes effect with
+    # nms_sparse_topm > 0). Equality-tested probe.
+    nms_bitmask: bool = False
 
     test_protocol: str = "kitti"
     test_db: str = "kitti"

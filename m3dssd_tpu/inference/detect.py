@@ -16,7 +16,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.boxes import bbox_transform_inv_t, decode_bbox_3d_t
-from ..ops.nms import nms_select_t
+from ..ops.nms import nms_bitmask_select_t, nms_select_t
+
+
+def _nms_cfg(conf):
+    """(stop_below, use_bitmask) NMS-variant knobs (config.py).
+
+    stop_below = conf.score_thres when nms_score_stop is on: the driver
+    (test_driver.postprocess_dets) drops rows below score_thres before any
+    downstream use, so ending the sequential selection there is exact.
+    """
+    thresh = float(getattr(conf, "score_thres", 0.0))
+    stop = thresh if (getattr(conf, "nms_score_stop", False)
+                      and thresh > 0.0) else None
+    return stop, bool(getattr(conf, "nms_bitmask", False))
 
 # detection table columns (matches ref aboxes layout :1550)
 DET_COLS = ["x1", "y1", "x2", "y2", "score", "cls",
@@ -129,8 +142,10 @@ def make_detector(conf, rois: np.ndarray, model=None,
                           jnp.float32)                      # [5, N]
 
     sparse_mpos, A, sparse_thresh = _sparse_nms_cfg(conf, rois, use_topk_pre)
+    nms_stop, use_bitmask = _nms_cfg(conf)
 
-    def _finish(top_scores, rk, sk, cls_k, d2, d3, scale_factor):
+    def _finish(top_scores, rk, sk, cls_k, d2, d3, scale_factor,
+                bitmask: bool = False):
         coords_2d = bbox_transform_inv_t(rk, d2, means_c[0:4], stds_c[0:4])
         coords_3d = decode_bbox_3d_t(rk, d3, sk, means_c, stds_c)
         # rescale image-plane quantities to the original resolution
@@ -139,7 +154,12 @@ def make_detector(conf, rois: np.ndarray, model=None,
 
         # greedy NMS, keeping only the top_post survivors (exact: the first
         # `top_post` kept boxes of full greedy NMS)
-        fi, valid = nms_select_t(coords_2d, top_scores, nms_thres, top_post)
+        if bitmask:
+            fi, valid = nms_bitmask_select_t(coords_2d, top_scores,
+                                             nms_thres, top_post)
+        else:
+            fi, valid = nms_select_t(coords_2d, top_scores, nms_thres,
+                                     top_post, stop_below=nms_stop)
         final_scores = jnp.where(valid, top_scores[fi], -1.0)
         final_2d = coords_2d[:, fi]
         if clip_boxes:
@@ -185,7 +205,8 @@ def make_detector(conf, rois: np.ndarray, model=None,
                               fill_value=0.0)
                 d2k = jnp.take(d2, idx, axis=1, mode="fill", fill_value=0.0)
                 d3k = jnp.take(d3, idx, axis=1, mode="fill", fill_value=0.0)
-                return _finish(sc, rk, sk, ck, d2k, d3k, scale_factor)
+                return _finish(sc, rk, sk, ck, d2k, d3k, scale_factor,
+                               bitmask=use_bitmask)
 
             return jax.lax.cond(
                 ok, _sparse,
@@ -237,13 +258,20 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
                           jnp.float32)
 
     sparse_mpos, A, sparse_thresh = _sparse_nms_cfg(conf, rois)
+    nms_stop, use_bitmask = _nms_cfg(conf)
 
-    def _one(scores, cls_pred, rk, sk, d2, d3, scale_factor):
+    def _one(scores, cls_pred, rk, sk, d2, d3, scale_factor,
+             bitmask: bool = False):
         coords_2d = bbox_transform_inv_t(rk, d2, means_c[0:4],
                                          stds_c[0:4]) / scale_factor
         coords_3d = decode_bbox_3d_t(rk, d3, sk, means_c, stds_c)
         coords_3d = coords_3d.at[0:2].divide(scale_factor)
-        fi, valid = nms_select_t(coords_2d, scores, nms_thres, top_post)
+        if bitmask:
+            fi, valid = nms_bitmask_select_t(coords_2d, scores, nms_thres,
+                                             top_post)
+        else:
+            fi, valid = nms_select_t(coords_2d, scores, nms_thres, top_post,
+                                     stop_below=nms_stop)
         final_scores = jnp.where(valid, scores[fi], -1.0)
         final_2d = coords_2d[:, fi]
         if clip_boxes:
@@ -303,7 +331,8 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
                           fill_value=0.0).reshape(5, B, M)
             sk = jnp.take(src3d_t, idx.reshape(-1), axis=1, mode="fill",
                           fill_value=0.0).reshape(5, B, M)
-            return jax.vmap(_one, in_axes=(0, 0, 1, 1, 0, 0, 0))(
+            one = functools.partial(_one, bitmask=use_bitmask)
+            return jax.vmap(one, in_axes=(0, 0, 1, 1, 0, 0, 0))(
                 sc, ck, rk, sk, d2k, d3k, sfs)
 
         return jax.lax.cond(jnp.all(oks), _sparse, _dense)

@@ -43,6 +43,7 @@ class DCN(nn.Module):
     dilation: int = 1
     shift_clamp: Any = 1.0
     remat: bool = False   # jax.checkpoint around the shift-DCN (config.py)
+    custom_vjp: bool = True   # hand-written shift-DCN transpose (config.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,7 +74,8 @@ class DCN(nn.Module):
             # 13.9 -> 18.9 ms measured) — so the XLA form stays. The kernel
             # is kept + parity-tested for future XLA/Mosaic versions.
             fn = functools.partial(dcn_v2_shift,
-                                   clamp=float(self.shift_clamp))
+                                   clamp=float(self.shift_clamp),
+                                   custom_vjp=self.custom_vjp)
             if self.remat:
                 fn = jax.checkpoint(fn)
             return fn(x, offset, mask, weight.astype(x.dtype),
@@ -89,12 +91,14 @@ class DeformConv(nn.Module):
     features: int
     shift_clamp: Any = 1.0
     remat: bool = False
+    custom_vjp: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = DCN(self.features, 3, shift_clamp=self.shift_clamp,
-                remat=self.remat, dtype=self.dtype)(x)
+                remat=self.remat, custom_vjp=self.custom_vjp,
+                dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          dtype=self.dtype)(x)
         return leaky_relu(x)
@@ -198,12 +202,15 @@ class IDAUp(nn.Module):
     use_dcn: bool = True
     shift_clamp: Any = 1.0
     remat: bool = False
+    custom_vjp: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
         if self.use_dcn:
             conv = lambda f, dtype: DeformConv(f, shift_clamp=self.shift_clamp,
-                                               remat=self.remat, dtype=dtype)
+                                               remat=self.remat,
+                                               custom_vjp=self.custom_vjp,
+                                               dtype=dtype)
         else:
             conv = PlainConv
         n = len(self.up_factors)
@@ -230,6 +237,7 @@ class DLAUp(nn.Module):
     use_dcn: bool = True
     shift_clamp: Any = 1.0
     remat: bool = False
+    custom_vjp: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -244,6 +252,7 @@ class DLAUp(nn.Module):
                               use_dcn=self.use_dcn,
                               shift_clamp=self.shift_clamp,
                               remat=self.remat,
+                              custom_vjp=self.custom_vjp,
                               dtype=self.dtype))
             scales[j + 1:] = [scales[j]] * len(scales[j + 1:])
             in_ch[j + 1:] = [ch[j]] * len(in_ch[j + 1:])
@@ -268,6 +277,7 @@ class DLASeg(nn.Module):
     use_dcn: bool = True
     shift_clamp: Any = 1.0
     remat: bool = False
+    custom_vjp: bool = True
     stem_s2d: bool = True
     dtype: Any = jnp.float32
 
@@ -279,13 +289,13 @@ class DLASeg(nn.Module):
         self.out_channels = channels[self.first_level]
         self.dla_up = DLAUp(channels[self.first_level:], use_dcn=self.use_dcn,
                             shift_clamp=self.shift_clamp, remat=self.remat,
-                            dtype=self.dtype)
+                            custom_vjp=self.custom_vjp, dtype=self.dtype)
         n_final = self.last_level - self.first_level
         self.ida_up = IDAUp(self.out_channels,
                             [2 ** i for i in range(n_final)],
                             use_dcn=self.use_dcn,
                             shift_clamp=self.shift_clamp, remat=self.remat,
-                            dtype=self.dtype)
+                            custom_vjp=self.custom_vjp, dtype=self.dtype)
 
     def __call__(self, x, train: bool = True, packed: bool = False):
         levels = self.base(x, train, packed=packed)

@@ -99,6 +99,7 @@ class M3DRPN(nn.Module):
     align_thresh: float = 0.5
     remat_dcn: bool = False            # backward-pass remat knobs (config.py)
     remat_towers: bool = False
+    dcn_custom_vjp: bool = True        # hand-written shift-DCN transpose
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -107,6 +108,7 @@ class M3DRPN(nn.Module):
                            use_dcn=self.ida_dcnv2,
                            shift_clamp=self.dcn_shift_clamp,
                            remat=self.remat_dcn,
+                           custom_vjp=self.dcn_custom_vjp,
                            stem_s2d=self.stem_s2d,
                            dtype=self.dtype)
         A = self.num_anchors
@@ -291,5 +293,6 @@ def build(conf, phase: str = "train") -> M3DRPN:
         sparse_align_train=bool(getattr(conf, "sparse_align_train", False)),
         remat_dcn=bool(getattr(conf, "remat_dcn", False)),
         remat_towers=bool(getattr(conf, "remat_towers", False)),
+        dcn_custom_vjp=bool(getattr(conf, "dcn_custom_vjp", True)),
         dtype=dtype,
     )

@@ -285,40 +285,29 @@ def dcn_v2(x, offset, mask, weight, bias=None, *, stride: int = 1,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("clamp",))
-def dcn_v2_shift(x, offset, mask, weight, bias=None, *, clamp: float = 1.0):
-    """Deformable conv v2 with offsets clamped to [-clamp, clamp], computed
-    as static shifted MACs — NO gather.
+def _shift_geometry(clamp: float, Kh: int):
+    """(pad, window radius R, slab padding P, knot offsets D) for the
+    shifted-MAC decomposition. Triangle basis on knots [-R..R] exactly
+    reproduces linear interpolation for |off| <= clamp <= R: knot R+1 would
+    get weight max(0, 1-|off-(R+1)|), nonzero only if off > R >= clamp —
+    impossible. (2R+1)^2 shifted slices per tap, not (2R+2)^2."""
+    import math as _math
+    pad = Kh // 2
+    R = int(_math.ceil(clamp))
+    return pad, R, pad + R + 1, list(range(-R, R + 1))
 
-    For bounded offsets, each tap's bilinear sample lies in a fixed
-    (2*ceil(clamp)+2)^2 window, so the gather decomposes into statically
-    shifted slices weighted by triangle functions of the offset: fully
-    XLA-fusible streaming reads instead of 512-byte random DMA (the gather
-    path runs at ~5% of HBM peak — PERF.md). Measured 1.7x faster at neck
-    shapes for clamp=1, and the backward is shifts (no scatter-add).
 
-    Exact (to rounding) vs `dcn_v2` whenever |offset| <= clamp. The clamp is
-    an architectural choice for LEARNED-offset layers (zero-init, small in
-    practice — the DCN accelerator literature clamps for the same locality
-    reason); derived-offset alignment layers keep the gather path.
+def _shift_out(x, off, mask, weight, clamp: float):
+    """Shifted-MAC forward (no bias): off is the CLIPPED f32 offset.
 
-    stride=1, dilation=1, padding=K//2 only (the neck DCN configuration).
+    Shared by the autodiff path and the custom-VJP primal so both compute
+    the identical graph.
     """
     B, H, W, C = x.shape
     Kh, Kw, _, Cout = weight.shape
     KK = Kh * Kw
-    pad = Kh // 2
-    import math as _math
-    R = int(_math.ceil(clamp))
-    P = pad + R + 1
-    off = jnp.clip(offset.astype(jnp.float32), -clamp, clamp)
+    pad, R, P, D = _shift_geometry(clamp, Kh)
     xp = jnp.pad(x, [(0, 0), (P, P), (P, P), (0, 0)])
-    # triangle basis on knots [-R..R] exactly reproduces linear interpolation
-    # for |off| <= clamp <= R: knot R+1 would get weight
-    # max(0, 1-|off-(R+1)|), nonzero only if off > R >= clamp — impossible.
-    # (2R+1)^2 shifted slices per tap, not (2R+2)^2 — the slices are the
-    # VPU-bound cost of this decomposition.
-    D = list(range(-R, R + 1))
     acc_t = jnp.promote_types(x.dtype, jnp.float32)
     w2 = weight.reshape(KK, C, Cout)
     # per-tap matmul accumulation: materializing the [B, H*W, KK*C] im2col
@@ -348,7 +337,174 @@ def dcn_v2_shift(x, offset, mask, weight, bias=None, *, clamp: float = 1.0):
         colk = acc.reshape(B, H * W, C)
         out = out + jax.lax.dot_general(colk, w2[k], (((2,), (0,)), ((), ())),
                                         preferred_element_type=acc_t)
-    out = out.reshape(B, H, W, Cout).astype(x.dtype)
+    return out.reshape(B, H, W, Cout).astype(x.dtype)
+
+
+# ---- subgradient conventions, matched to JAX autodiff (probed on this
+# jax version): d|u|/du at 0 is +1 (select(u >= 0, g, -g)); max/min ties
+# split 0.5; clip at an exact boundary therefore passes 0.5.
+def _dabs(u):
+    return jnp.where(u >= 0, 1.0, -1.0)
+
+
+def _dmax0(t):
+    """d max(t, 0)/dt evaluated from t (0.5 exactly at the kink)."""
+    t32 = t.astype(jnp.float32)
+    return (t32 > 0).astype(jnp.float32) + 0.5 * (t32 == 0)
+
+
+def _dtri(o, d):
+    """d/do of the triangle weight max(0, 1 - |o - d|)."""
+    u = o - d
+    return -_dmax0(1.0 - jnp.abs(u)) * _dabs(u)
+
+
+def _dclip(o, clamp):
+    """d clip(o, -clamp, clamp)/do (1 inside, 0 outside, 0.5 at the edge)."""
+    a = jnp.abs(o.astype(jnp.float32))
+    return (a < clamp).astype(jnp.float32) + 0.5 * (a == clamp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dcn_shift_core(clamp, x, offset, mask, weight):
+    off = jnp.clip(offset.astype(jnp.float32), -clamp, clamp)
+    return _shift_out(x, off, mask, weight, clamp)
+
+
+def _dcn_shift_core_fwd(clamp, x, offset, mask, weight):
+    out = _dcn_shift_core(clamp, x, offset, mask, weight)
+    # residuals are the INPUTS only — the backward recomputes the per-tap
+    # columns instead of storing the 9x-wide [B,H,W,KK*C] im2col activations
+    # XLA's autodiff keeps live for dW (the bs=12 HBM cliff, PERF.md)
+    return out, (x, offset, mask, weight)
+
+
+def _dcn_shift_core_bwd(clamp, res, g):
+    """Hand-written transpose of the shifted-MAC forward.
+
+    Replaces XLA's generic per-term transpose chain (the TPU analogue of the
+    reference's hand-written col2im/coordinate backward,
+    ref:model/DCNv2/src/cuda/dcn_v2_im2col_cuda.cu:50-150):
+
+      dL/dx       — the REVERSE static shifts of the triangle-weighted
+                    cotangent: streaming lax.pad adds, no scatter.
+      dL/doffset  — reuses one per-(iy,ix) C-dot table t = <gk, slice>
+                    per tap (9 reductions) instead of autodiff's separate
+                    per-term weight cotangents, then combines with the
+                    triangle derivative in [B,H,W] space.
+      dL/dmask    — same t table, triangle weights without the mask fold.
+      dL/dweight  — per-tap recomputed columns against g on the MXU.
+    """
+    x, offset, mask, weight = res
+    B, H, W, C = x.shape
+    Kh, Kw, _, Cout = weight.shape
+    KK = Kh * Kw
+    pad, R, P, D = _shift_geometry(clamp, Kh)
+    f32 = jnp.float32
+    off_raw = offset.astype(f32)
+    off = jnp.clip(off_raw, -clamp, clamp)
+    xp = jnp.pad(x, [(0, 0), (P, P), (P, P), (0, 0)])
+    gf = g.reshape(B, H * W, Cout)
+    w2 = weight.reshape(KK, C, Cout)
+    zero = jnp.zeros((), x.dtype)
+
+    dx = jnp.zeros((B, H, W, C), x.dtype)
+    dW, doff, dmk_l = [], [], []
+    for k in range(KK):
+        ky, kx = k // Kw, k % Kw
+        oy = off[..., k, 0]
+        ox = off[..., k, 1]
+        mk = mask[..., k].astype(f32)
+        wy = [jnp.maximum(0.0, 1.0 - jnp.abs(oy - d)) for d in D]
+        wx = [jnp.maximum(0.0, 1.0 - jnp.abs(ox - d)) for d in D]
+        # cotangent of this tap's column block: [B, HW, C]
+        gk = jax.lax.dot_general(gf, w2[k], (((2,), (1,)), ((), ())),
+                                 preferred_element_type=f32)
+        gk = gk.reshape(B, H, W, C).astype(x.dtype)
+
+        # one pass over the (2R+1)^2 shifted slices: the C-dot table t for
+        # the offset/mask grads AND the recomputed columns for dW share the
+        # slice reads (XLA CSEs the slice; both consumers fuse onto it)
+        t = [[None] * len(D) for _ in D]
+        acc = jnp.zeros((B, H, W, C), x.dtype)
+        for iy, dy in enumerate(D):
+            ys = P - pad + ky + dy
+            for ix, dxs in enumerate(D):
+                xs = P - pad + kx + dxs
+                sl = jax.lax.slice(xp, (0, ys, xs, 0), (B, ys + H, xs + W, C))
+                t[iy][ix] = jnp.einsum("bhwc,bhwc->bhw", gk, sl,
+                                       preferred_element_type=f32)
+                w = (mk * wy[iy] * wx[ix]).astype(x.dtype)
+                acc = acc + w[..., None] * sl
+        dWk = jax.lax.dot_general(acc.reshape(B, H * W, C), gf,
+                                  (((0, 1), (0, 1)), ((), ())),
+                                  preferred_element_type=f32)
+        dW.append(dWk)
+
+        dmk = sum(wy[iy] * wx[ix] * t[iy][ix]
+                  for iy in range(len(D)) for ix in range(len(D)))
+        doy = mk * sum(_dtri(oy, d) * wx[ix] * t[iy][ix]
+                       for iy, d in enumerate(D) for ix in range(len(D)))
+        dox = mk * sum(wy[iy] * _dtri(ox, d) * t[iy][ix]
+                       for iy in range(len(D)) for ix, d in enumerate(D))
+        dmk_l.append(dmk)
+        doff.append(jnp.stack([doy, dox], axis=-1))
+
+        # dL/dx: out reads x[h + sy], so dx[m] accumulates z[m - sy] with
+        # z = w * gk — a shift expressed as ONE lax.pad (negative high side
+        # trims), streaming adds, no scatter
+        for iy, dy in enumerate(D):
+            ay = ((mk * wy[iy]).astype(x.dtype))[..., None] * gk
+            sy = ky + dy - pad
+            for ix, dxs in enumerate(D):
+                z = (wx[ix].astype(x.dtype))[..., None] * ay
+                sx = kx + dxs - pad
+                dx = dx + jax.lax.pad(
+                    z, zero, [(0, 0, 0), (sy, -sy, 0), (sx, -sx, 0),
+                              (0, 0, 0)])
+
+    doffset = (jnp.stack(doff, axis=3) * _dclip(off_raw, clamp)) \
+        .astype(offset.dtype)
+    dmask = jnp.stack(dmk_l, axis=-1).astype(mask.dtype)
+    dweight = jnp.stack(dW, 0).reshape(Kh, Kw, C, Cout).astype(weight.dtype)
+    return dx, doffset, dmask, dweight
+
+
+_dcn_shift_core.defvjp(_dcn_shift_core_fwd, _dcn_shift_core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("clamp", "custom_vjp"))
+def dcn_v2_shift(x, offset, mask, weight, bias=None, *, clamp: float = 1.0,
+                 custom_vjp: bool = True):
+    """Deformable conv v2 with offsets clamped to [-clamp, clamp], computed
+    as static shifted MACs — NO gather.
+
+    For bounded offsets, each tap's bilinear sample lies in a fixed
+    (2*ceil(clamp)+2)^2 window, so the gather decomposes into statically
+    shifted slices weighted by triangle functions of the offset: fully
+    XLA-fusible streaming reads instead of 512-byte random DMA (the gather
+    path runs at ~5% of HBM peak — PERF.md). Measured 1.7x faster at neck
+    shapes for clamp=1, and the backward is shifts (no scatter-add).
+
+    Exact (to rounding) vs `dcn_v2` whenever |offset| <= clamp. The clamp is
+    an architectural choice for LEARNED-offset layers (zero-init, small in
+    practice — the DCN accelerator literature clamps for the same locality
+    reason); derived-offset alignment layers keep the gather path.
+
+    custom_vjp (default): the backward runs the hand-written transpose in
+    `_dcn_shift_core_bwd` — input-only residuals (no stored im2col columns)
+    and a shared C-dot table for the offset/mask grads. Grad-equality vs the
+    autodiff path (including at the subgradient ties) is tested in
+    tests/test_dcn.py. Set False for XLA's autodiff transpose (A/B knob:
+    conf.dcn_custom_vjp / train_ab variant `ad_vjp`).
+
+    stride=1, dilation=1, padding=K//2 only (the neck DCN configuration).
+    """
+    if custom_vjp:
+        out = _dcn_shift_core(float(clamp), x, offset, mask, weight)
+    else:
+        off = jnp.clip(offset.astype(jnp.float32), -clamp, clamp)
+        out = _shift_out(x, off, mask, weight, float(clamp))
     if bias is not None:
         out = out + bias.astype(x.dtype)
     return out

@@ -83,6 +83,11 @@ class Trainer:
 
         # persist the resolved config with the run (ref:train_rpn_3d.py:127)
         conf.save(os.path.join(output_dir, "conf.pkl"))
+        # snapshot the package source so old checkpoints keep running with
+        # the code that trained them (ref:lib/core.py:57-70; scripts/test.py
+        # prefers the snapshot)
+        from ..utils.source_snapshot import snapshot_source
+        snapshot_source(output_dir)
 
         self.model = build(conf, "train")
         rng = jax.random.PRNGKey(conf.rng_seed)
@@ -124,8 +129,17 @@ class Trainer:
         partial-load semantics)."""
         conf = self.conf
         if os.path.isdir(path):
-            from ..utils.checkpoint import restore_checkpoint
-            self.state = restore_checkpoint(path, self.state)
+            from ..utils.checkpoint import (is_seed_checkpoint,
+                                            restore_checkpoint, restore_seed)
+            if is_seed_checkpoint(path):
+                # optimizer-agnostic seed (scripts/fetch_pretrained.py):
+                # params + BN stats only, fresh opt_state/step
+                params, batch_stats = restore_seed(
+                    path, self.state.params, self.state.batch_stats)
+                self.state = self.state.replace(params=params,
+                                                batch_stats=batch_stats)
+            else:
+                self.state = restore_checkpoint(path, self.state)
             return
         from ..utils.torch_import import (load_reference_checkpoint,
                                           load_torch_file)

@@ -97,6 +97,32 @@ def restore_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
                          step=jax.numpy.asarray(restored["step"]))
 
 
+def save_seed(ckpt_dir: str, params, batch_stats) -> str:
+    """Save an optimizer-agnostic SEED checkpoint (params + BN stats only)
+    at `ckpt_dir/seed` — the output format of scripts/fetch_pretrained.py.
+    Unlike `save_checkpoint` it carries no opt_state, so any solver config
+    can start from it (the reference's ImageNet bootstrap has the same
+    shape: weights only, ref:model/pose_dla_dcn.py:399-415)."""
+    path = os.path.join(os.path.abspath(ckpt_dir), "seed")
+    _ckptr().save(path, {"params": params, "batch_stats": batch_stats},
+                  force=True)
+    logging.info("saved seed checkpoint %s", path)
+    return path
+
+
+def is_seed_checkpoint(ckpt_dir: str) -> bool:
+    return os.path.isdir(os.path.join(ckpt_dir, "seed"))
+
+
+def restore_seed(ckpt_dir: str, params, batch_stats):
+    """Restore (params, batch_stats) from a seed checkpoint dir."""
+    path = os.path.join(os.path.abspath(ckpt_dir), "seed")
+    restored = _ckptr().restore(path, item={"params": params,
+                                            "batch_stats": batch_stats})
+    logging.info("restored seed checkpoint %s", path)
+    return restored["params"], restored["batch_stats"]
+
+
 def load_pretrained_params(params, src_params, filter_prefixes=None):
     """Partial weight loading: copy matching-name/shape leaves from
     src_params into params (ref:lib/core.py:477-511 semantics)."""

@@ -25,6 +25,9 @@ def main():
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (JAX_PLATFORMS is ignored "
                         "when a TPU plugin is registered)")
+    p.add_argument("--no_src_snapshot", action="store_true",
+                   help="ignore the run's model_src/ code snapshot and "
+                        "evaluate with the installed package instead")
     p.add_argument("--mesh_devices", type=int, default=0,
                    help="shard batched eval over this many devices "
                         "(data-parallel inference; needs eval_batch_size "
@@ -38,9 +41,20 @@ def main():
                         "(params follow their 'model'-axis placement)")
     args = p.parse_args()
 
+    # prefer the run's source snapshot: rebuild the model from the code that
+    # trained the checkpoint (ref:scripts/test_rpn_3d.py:48 imports the
+    # run-dir copy; utils/source_snapshot.py). Must happen before the
+    # package import below.
+    snap = os.path.join(args.run_dir, "model_src")
+    if not args.no_src_snapshot and os.path.isdir(
+            os.path.join(snap, "m3dssd_tpu")):
+        sys.path.insert(0, snap)
+
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    import m3dssd_tpu
+    print(f"m3dssd_tpu source: {os.path.dirname(m3dssd_tpu.__file__)}")
     from m3dssd_tpu.config import Config
     from m3dssd_tpu.data.kitti import Kitti3DDataset
     from m3dssd_tpu.anchors import locate_anchors

@@ -34,10 +34,16 @@ VARIANTS = {
     "remat_both": {"remat_dcn": True, "remat_towers": True},
     "light_stats": {"loss_light_stats": True},
     "remat_dcn_light": {"remat_dcn": True, "loss_light_stats": True},
+    # XLA autodiff transpose for the shift-DCN backward (the pre-round-4
+    # default) — A/B partner of the hand-written VJP (ops/dcn.py)
+    "ad_vjp": {"dcn_custom_vjp": False, "loss_light_stats": True},
+    "cvjp_light": {"loss_light_stats": True},   # alias: custom VJP is default
+    "ad_vjp_remat": {"dcn_custom_vjp": False, "remat_dcn": True,
+                     "loss_light_stats": True},
 }
 
 
-def measure(conf, shape, batch, iters, donate, bg_bias, tag):
+def measure(conf, shape, batch, iters, donate, bg_bias, tag, memstats=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -78,6 +84,20 @@ def measure(conf, shape, batch, iters, donate, bg_bias, tag):
         b["images"] = space_to_depth_np(b["images"])
     b = {k: jnp.asarray(v) for k, v in b.items()}
 
+    if memstats:
+        # compile-only HBM breakdown — where the bs cliff comes from
+        # (donated args alias outputs, so argument/output sizes overlap)
+        try:
+            mem = step.lower(state, b, rng).compile().memory_analysis()
+            gb = 1 / (1024 ** 3)
+            print(f"[{tag}] HBM: args {mem.argument_size_in_bytes * gb:.2f} "
+                  f"out {mem.output_size_in_bytes * gb:.2f} "
+                  f"temp {mem.temp_size_in_bytes * gb:.2f} "
+                  f"alias {mem.alias_size_in_bytes * gb:.2f} GiB",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[{tag}] memory_analysis unavailable: {e}", flush=True)
+
     t0 = time.perf_counter()
     state, stats = step(state, b, rng)      # compile + warmup
     jax.block_until_ready((state, stats))
@@ -113,6 +133,9 @@ def main():
     p.add_argument("--flagship_final", default=None,
                    help="variant name; measures the flagship parity config "
                         "with it and writes TRAINBENCH.json")
+    p.add_argument("--memstats", action="store_true",
+                   help="print the compiled step's HBM breakdown "
+                        "(args/output/temp) per variant before timing")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -140,7 +163,8 @@ def main():
                 key = f"{name}@bs{b}" if args.batch_sweep else name
                 results[key] = measure(conf, tuple(args.shape), b,
                                        args.iters, args.donate, args.bg_bias,
-                                       f"{args.backbone} {key}")
+                                       f"{args.backbone} {key}",
+                                       memstats=args.memstats)
 
     if args.flagship_final == "auto":
         assert results, "--flagship_final auto needs --variants"

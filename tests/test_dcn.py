@@ -235,3 +235,64 @@ def test_dcn_shift_pallas_matches_xla():
     got = np.asarray(dcn_v2_shift_pallas(x, off, m, w, b, clamp=1.0,
                                          interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("clamp", [1.0, 2.0])
+def test_dcn_shift_custom_vjp_matches_autodiff(clamp):
+    """The hand-written shift-DCN transpose (_dcn_shift_core_bwd) equals
+    XLA's autodiff of the identical forward, for every input grad."""
+    from m3dssd_tpu.ops.dcn import dcn_v2_shift
+    rng = np.random.default_rng(21)
+    B, H, W, C, Co = 2, 5, 7, 4, 6
+    x = jnp.array(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    # spans the clip boundary on both sides
+    off = jnp.array(rng.uniform(-clamp - 0.7, clamp + 0.7,
+                                size=(B, H, W, 9, 2)).astype(np.float32))
+    m = jnp.array(rng.uniform(0, 1, size=(B, H, W, 9)).astype(np.float32))
+    w = jnp.array((rng.normal(size=(3, 3, C, Co)) * 0.3).astype(np.float32))
+    b = jnp.array(rng.normal(size=(Co,)).astype(np.float32))
+    cot = jnp.array(rng.normal(size=(B, H, W, Co)).astype(np.float32))
+
+    def loss(custom):
+        return lambda *a: jnp.sum(
+            dcn_v2_shift(*a, clamp=clamp, custom_vjp=custom) * cot)
+
+    ga = jax.grad(loss(False), argnums=(0, 1, 2, 3, 4))(x, off, m, w, b)
+    gc = jax.grad(loss(True), argnums=(0, 1, 2, 3, 4))(x, off, m, w, b)
+    for name, a, c in zip("x off mask w b".split(), ga, gc):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+    # forward traces are identical
+    np.testing.assert_array_equal(
+        np.asarray(dcn_v2_shift(x, off, m, w, b, clamp=clamp,
+                                custom_vjp=True)),
+        np.asarray(dcn_v2_shift(x, off, m, w, b, clamp=clamp,
+                                custom_vjp=False)))
+
+
+def test_dcn_shift_custom_vjp_subgradient_ties():
+    """At EXACT tie points — zero-init offsets (the DCN module's init state,
+    where the relu kink of the d=+-1 triangle knots is hit everywhere) and
+    offsets exactly at +-clamp — the custom VJP must reproduce autodiff's
+    subgradient convention, or offset learning from init would change."""
+    from m3dssd_tpu.ops.dcn import dcn_v2_shift
+    rng = np.random.default_rng(22)
+    B, H, W, C, Co = 1, 4, 5, 3, 4
+    x = jnp.array(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    m = jnp.array(rng.uniform(0, 1, size=(B, H, W, 9)).astype(np.float32))
+    w = jnp.array((rng.normal(size=(3, 3, C, Co)) * 0.3).astype(np.float32))
+    cot = jnp.array(rng.normal(size=(B, H, W, Co)).astype(np.float32))
+    off0 = jnp.zeros((B, H, W, 9, 2), jnp.float32)
+    offc = jnp.array(rng.choice([-1.0, 0.0, 1.0],
+                                size=(B, H, W, 9, 2)).astype(np.float32))
+    for off in (off0, offc):
+        def loss(custom):
+            return lambda *a: jnp.sum(
+                dcn_v2_shift(*a, m, w, clamp=1.0, custom_vjp=custom) * cot)
+        ga = jax.grad(loss(False), argnums=(0, 1))(x, off)
+        gc = jax.grad(loss(True), argnums=(0, 1))(x, off)
+        for name, a, c in zip(["x", "off"], ga, gc):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6, err_msg=name)
+        # the tie gradient is the offset-learning signal at init: nonzero
+        assert np.abs(np.asarray(gc[1])).sum() > 0

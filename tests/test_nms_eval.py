@@ -240,3 +240,73 @@ def test_nms_select_fewer_survivors_than_requested():
     got = np.asarray(idxs)[np.asarray(valid)].tolist()
     assert got == py_cpu_nms(dets, 0.5)
     assert int(np.asarray(valid).sum()) == len(got)
+
+
+def _random_boxes(rng, n, spread=60.0):
+    x1 = rng.uniform(0, 200, n)
+    y1 = rng.uniform(0, 80, n)
+    w = rng.uniform(4, spread, n)
+    h = rng.uniform(4, spread, n)
+    boxes = np.stack([x1, y1, x1 + w, y1 + h], axis=1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    return boxes, scores
+
+
+def test_nms_select_stop_below_matches_full_above_threshold():
+    """Early-stop NMS: survivors above the stop threshold are exactly those
+    of the full selection, in the same order; sub-threshold slots come back
+    valid=False."""
+    from m3dssd_tpu.ops.nms import nms_select
+    rng = np.random.default_rng(31)
+    for trial in range(8):
+        boxes, scores = _random_boxes(rng, 120)
+        # quantize scores so ties occur
+        scores = np.round(scores * 20) / 20
+        for thresh in (0.3, 0.6, 0.95):
+            fi, fv = nms_select(jnp.asarray(boxes), jnp.asarray(scores),
+                                0.4, 16)
+            si, sv = nms_select(jnp.asarray(boxes), jnp.asarray(scores),
+                                0.4, 16, stop_below=thresh)
+            fi, fv, si, sv = map(np.asarray, (fi, fv, si, sv))
+            above = fv & (scores[fi] >= thresh)
+            # the early-stop output is the above-threshold prefix
+            k = int(above.sum())
+            assert above[:k].all() and not above[k:].any()
+            assert sv[:k].all() and not sv[k:].any()
+            np.testing.assert_array_equal(si[:k], fi[:k])
+
+
+def test_nms_bitmask_matches_sequential():
+    """The parallel bitmask fixpoint equals sequential greedy selection,
+    including under score ties (stable order) and heavy overlap chains."""
+    from m3dssd_tpu.ops.nms import nms_bitmask_select_t, nms_select_t
+    rng = np.random.default_rng(32)
+    for trial in range(8):
+        n = 150
+        boxes, scores = _random_boxes(rng, n, spread=100.0)
+        scores = np.round(scores * 10) / 10          # many exact ties
+        bt = jnp.asarray(boxes.T)
+        sc = jnp.asarray(scores)
+        si, sv = nms_select_t(bt, sc, 0.4, 24)
+        bi, bv = nms_bitmask_select_t(bt, sc, 0.4, 24)
+        np.testing.assert_array_equal(np.asarray(sv), np.asarray(bv))
+        k = int(np.asarray(sv).sum())
+        np.testing.assert_array_equal(np.asarray(si)[:k], np.asarray(bi)[:k])
+
+
+def test_nms_bitmask_suppression_chain():
+    """A < B < C score chain where B suppresses C but A suppresses B: greedy
+    keeps A and C — the fixpoint must recover C (2 Jacobi rounds)."""
+    from m3dssd_tpu.ops.nms import nms_bitmask_select_t, nms_select_t
+    # +1-convention IoUs: A-B = B-C = 0.467 (> 0.4), A-C = 0.158 (< 0.4)
+    boxes = np.array([[0, 0, 10, 10], [4, 0, 14, 10], [8, 0, 18, 10]],
+                     np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    bt = jnp.asarray(boxes.T)
+    si, sv = nms_select_t(bt, jnp.asarray(scores), 0.4, 3)
+    bi, bv = nms_bitmask_select_t(bt, jnp.asarray(scores), 0.4, 3)
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(bv))
+    k = int(np.asarray(sv).sum())
+    assert k == 2
+    np.testing.assert_array_equal(np.asarray(si)[:k], np.asarray(bi)[:k])
+    assert set(np.asarray(bi)[:k].tolist()) == {0, 2}

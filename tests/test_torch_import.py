@@ -166,3 +166,77 @@ def test_import_model_still_runs(model_and_vars):
     out = model.apply({"params": params, "batch_stats": batch_stats},
                       jnp.zeros((1, 64, 128, 3)), train=False)
     assert np.isfinite(np.asarray(out["prob"])).all()
+
+
+def test_real_torch_file_roundtrip(model_and_vars, tmp_path):
+    """The REAL serialization path: torch.save a reference-named state_dict
+    (zip format, torch tensors incl. a non-contiguous storage view), load it
+    through load_torch_file -> load_reference_checkpoint, and verify the
+    loaded tree equals the in-memory import (ref:lib/core.py:477-511
+    partial-load semantics operate on torch-deserialized files)."""
+    import torch
+
+    conf, model, v = model_and_vars
+    A, C = conf.anchors.shape[0], conf.num_classes
+    import jax.tree_util as jtu
+
+    rng = np.random.default_rng(3)
+    sd = {}
+    for coll in ["params", "batch_stats"]:
+        for path, val in jtu.tree_flatten_with_path(v[coll])[0]:
+            parts = tuple(str(k.key) for k in path)
+            key, conv = flax_to_torch_key(parts[:-1], parts[-1],
+                                          num_anchors=A, num_classes=C)
+            tshape = _torch_shape(parts, parts[-1], np.asarray(val).shape)
+            t = rng.normal(size=tshape).astype(np.float32)
+            sd[key] = torch.from_numpy(t)
+    # make one tensor a non-contiguous view: torch.save keeps storage views
+    k0 = sorted(k for k in sd if sd[k].ndim == 4)[0]
+    sd[k0] = torch.from_numpy(
+        np.ascontiguousarray(np.moveaxis(sd[k0].numpy(), 0, -1))) \
+        .permute(3, 0, 1, 2)
+    assert not sd[k0].is_contiguous()
+
+    path = str(tmp_path / "ref_ckpt.pth")
+    torch.save({"state_dict": sd}, path)    # the reference wraps in a dict
+
+    from m3dssd_tpu.utils.torch_import import load_torch_file
+    loaded_sd = load_torch_file(path)
+    assert set(loaded_sd) == set(sd)
+    params_f, bstats_f, stats_f = load_reference_checkpoint(
+        v, loaded_sd, num_anchors=A, num_classes=C, block="basic")
+    params_m, bstats_m, stats_m = load_reference_checkpoint(
+        v, {k: t.numpy() for k, t in sd.items()},
+        num_anchors=A, num_classes=C, block="basic")
+    assert stats_f["loaded"] == stats_m["loaded"] > 100
+    assert not stats_f["unmapped"] and not stats_f["shape_mismatch"]
+    for a, b in zip(jtu.tree_leaves((params_f, bstats_f)),
+                    jtu.tree_leaves((params_m, bstats_m))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_real_torch_file_pins_parity(model_and_vars, tmp_path):
+    """dcn_shift_clamp=None pinning works through the real file path: a
+    saved checkpoint with nonzero learned DCN offsets forces the exact
+    gather-path DCN when loaded by file (utils/torch_import.pin_parity_conf)."""
+    import torch
+
+    conf, model, v = model_and_vars
+    A, C = conf.anchors.shape[0], conf.num_classes
+    import jax.tree_util as jtu
+    sd = {}
+    for coll in ["params", "batch_stats"]:
+        for path, val in jtu.tree_flatten_with_path(v[coll])[0]:
+            parts = tuple(str(k.key) for k in path)
+            key, _ = flax_to_torch_key(parts[:-1], parts[-1],
+                                       num_anchors=A, num_classes=C)
+            tshape = _torch_shape(parts, parts[-1], np.asarray(val).shape)
+            sd[key] = torch.ones(tshape)     # nonzero offset conv weights
+    path = str(tmp_path / "ref_offsets.pth")
+    torch.save(sd, path)                     # bare state_dict form
+
+    from m3dssd_tpu.utils.torch_import import (load_torch_file,
+                                               pin_parity_conf)
+    loaded = load_torch_file(path)
+    pinned = pin_parity_conf(conf.replace(dcn_shift_clamp=1.0), loaded)
+    assert pinned.dcn_shift_clamp is None
