@@ -79,11 +79,25 @@ class TrainLoader:
     def __init__(self, dataset, batch_size: int, num_workers: int = 8,
                  seed: int = 0, prefetch: int = 4,
                  weights: Optional[np.ndarray] = None,
-                 pack_s2d: bool = False, upload_bf16: Optional[bool] = None):
+                 pack_s2d: bool = False, upload_bf16: Optional[bool] = None,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.rng = np.random.default_rng(seed)
+        # multi-host batch slicing: `batch_size` stays the GLOBAL batch;
+        # every process draws the identical global index vector (same seeded
+        # rng) but decodes/augments/yields ONLY its own contiguous slice of
+        # it (rows [p*B/np, (p+1)*B/np)) — matching the process-major 'data'
+        # placement of parallel.shard_batch(per_host=True). Per-sample aug
+        # rngs key on the GLOBAL slot, so the assembled global batch is
+        # bitwise identical to the single-process one (tested,
+        # tests/test_multihost.py).
+        assert batch_size % max(process_count, 1) == 0, \
+            (batch_size, process_count)
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
+        self.local_batch = batch_size // self.process_count
         self._draws = 0     # monotone batch-draw counter for per-sample rngs
         self.weights = weights if weights is not None else balance_samples(
             dataset.conf, dataset.imdb)
@@ -125,12 +139,16 @@ class TrainLoader:
                         return
                     idx = self._sample_indices()
                     # per-sample seeded rngs: augmentation randomness is a
-                    # pure function of (seed, draw, slot), NOT of which
-                    # prefetch thread runs first — batches are reproducible
+                    # pure function of (seed, draw, GLOBAL slot), NOT of
+                    # which prefetch thread runs first or which process
+                    # materializes the slot — batches are reproducible and
+                    # process-split-invariant
                     draw = self._draws
                     self._draws += 1
+                    lo = self.process_index * self.local_batch
                     args = [(int(i), np.random.default_rng(
-                        (self.seed, draw, s))) for s, i in enumerate(idx)]
+                        (self.seed, draw, lo + s)))
+                        for s, i in enumerate(idx[lo:lo + self.local_batch])]
                     samples = list(pool.map(
                         lambda a: self.dataset.sample(a[0], rng=a[1]), args))
                     batch = collate(samples)

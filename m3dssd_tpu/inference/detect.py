@@ -353,11 +353,16 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
     # None = "infer from the committed argument" (TP-sharded params pass
     # through); explicit P() replication otherwise (host numpy params)
     param_shd = None if follow_params_sharding else repl
+    # multi-host: replicate the (tiny [B, top_post, 14]) output so EVERY
+    # process can read the full detection table (a data-sharded result is
+    # not fully addressable off-host); single-process keeps the sharded form
+    me = jax.process_index()
+    spans = any(d.process_index != me for d in mesh.devices.flat)
+    sf_sharding = NamedSharding(mesh, P(DATA_AXIS))
     jitted = jax.jit(
         detect,
-        in_shardings=(param_shd, param_shd, img_sharding,
-                      NamedSharding(mesh, P(DATA_AXIS))),
-        out_shardings=NamedSharding(mesh, P(DATA_AXIS)))
+        in_shardings=(param_shd, param_shd, img_sharding, sf_sharding),
+        out_shardings=repl if spans else NamedSharding(mesh, P(DATA_AXIS)))
 
     # thin wrapper so callers (test_driver._run_batched) can discover the
     # image sharding for their explicit device_put (a default device_put
@@ -366,5 +371,6 @@ def make_batch_detector(conf, rois: np.ndarray, model=None,
         return jitted(params, batch_stats, images, scale_factors)
 
     detect_sharded.input_sharding = img_sharding
+    detect_sharded.sf_sharding = sf_sharding
     detect_sharded.jitted = jitted
     return detect_sharded

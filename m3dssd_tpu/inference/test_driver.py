@@ -78,7 +78,7 @@ def postprocess_dets(conf, dets: np.ndarray, p2: np.ndarray,
 
 def _run_batched(dataset, detect_fn, params, batch_stats, conf,
                  results_path: str, batch_size: int, pack=lambda im: im,
-                 prefetch_workers: int = 8):
+                 prefetch_workers: int = 8, write=write_kitti_result):
     """Batched eval loop: threaded per-image load+pack prefetch +
     double-buffered device dispatch (post-process batch k while batch k+1
     computes).
@@ -104,11 +104,12 @@ def _run_batched(dataset, detect_fn, params, batch_stats, conf,
     def _flush(pending):
         out, metas = pending
         arr = np.asarray(out)          # blocks on the device result
+        if write is None:              # non-primary multi-host process
+            return
         for j, meta in enumerate(metas):
             rows = postprocess_dets(conf, arr[j], meta["p2"],
                                     np.linalg.inv(meta["p2"]))
-            write_kitti_result(
-                os.path.join(results_path, meta["id"] + ".txt"), rows)
+            write(os.path.join(results_path, meta["id"] + ".txt"), rows)
 
     from collections import deque
 
@@ -140,12 +141,15 @@ def _run_batched(dataset, detect_fn, params, batch_stats, conf,
                 while len(ims) < B:            # pad the tail batch
                     ims.append(ims[-1])
                     sfs.append(sfs[-1])
-                # mesh-sharded detectors publish their image sharding
-                # (inference.detect.make_batch_detector(mesh=...))
-                shd = getattr(detect_fn, "input_sharding", None)
-                imb = jax.device_put(np.concatenate(ims, axis=0), shd)
-                out = detect_fn(params, batch_stats, imb,
-                                np.asarray(sfs, np.float32))
+                # mesh-sharded detectors publish their input shardings
+                # (inference.detect.make_batch_detector(mesh=...));
+                # put_global handles meshes that span processes
+                from ..parallel.mesh import put_global
+                imb = put_global(np.concatenate(ims, axis=0),
+                                 getattr(detect_fn, "input_sharding", None))
+                sfb = put_global(np.asarray(sfs, np.float32),
+                                 getattr(detect_fn, "sf_sharding", None))
+                out = detect_fn(params, batch_stats, imb, sfb)
                 if pending is not None:
                     _flush(pending)
                 pending = (out, metas)
@@ -171,8 +175,20 @@ def test_kitti_3d(dataset, detect_fn, params, batch_stats, conf,
     rebuild removes.
 
     Returns (results dict or None, mean Car 3D AP-R40 selection metric).
+
+    Multi-process (jax.process_count() > 1): every process runs the device
+    work (a mesh-sharded detector's collectives need all of them), but ONLY
+    process 0 writes result txts and computes AP — shared-filesystem pods
+    would otherwise race on the same files. The selection metric is then
+    BROADCAST from process 0 so every process returns the same value and
+    the trainer's best-model branch (whose orbax save syncs globally) is
+    taken uniformly; the results dict stays None off-primary.
     """
-    os.makedirs(results_path, exist_ok=True)
+    import jax
+    primary = jax.process_index() == 0
+    write = write_kitti_result if primary else None
+    if primary:
+        os.makedirs(results_path, exist_ok=True)
     t0 = time.time()
     n = len(dataset)
     # packed_input: the detector was built with packed_input=True — feed
@@ -199,21 +215,30 @@ def test_kitti_3d(dataset, detect_fn, params, batch_stats, conf,
             meta = sample["meta"]
             dets = np.asarray(detect_fn(params, batch_stats, im,
                                         np.float32(meta["scale_factor"])))
-            rows = postprocess_dets(conf, dets, meta["p2"],
-                                    np.linalg.inv(meta["p2"]))
-            write_kitti_result(
-                os.path.join(results_path, meta["id"] + ".txt"), rows)
+            if write is not None:
+                rows = postprocess_dets(conf, dets, meta["p2"],
+                                        np.linalg.inv(meta["p2"]))
+                write(os.path.join(results_path, meta["id"] + ".txt"), rows)
     else:
         _run_batched(dataset, detect_fn, params, batch_stats, conf,
-                     results_path, batch_size, pack)
+                     results_path, batch_size, pack, write=write)
     dt = time.time() - t0
     logging.info("test_kitti_3d: %d images in %.1fs (%.2f im/s)", n, dt,
                  n / max(dt, 1e-9))
 
-    if not (evaluate and gt_path):
-        return None, 0.0
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # step-align before the primary's host-side AP pass
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("test_kitti_3d_done")
 
-    from ..eval.kitti_eval import evaluate_kitti
-    res = evaluate_kitti(gt_path, results_path, classes=conf.lbls)
-    sel = res.get("Car_3d_R40", [0.0, 0.0, 0.0])
-    return res, float(np.mean(sel))
+    res, sel = None, 0.0
+    if primary and evaluate and gt_path:
+        from ..eval.kitti_eval import evaluate_kitti
+        res = evaluate_kitti(gt_path, results_path, classes=conf.lbls)
+        sel = float(np.mean(res.get("Car_3d_R40", [0.0, 0.0, 0.0])))
+    if multiproc:
+        from jax.experimental import multihost_utils
+        sel = float(multihost_utils.broadcast_one_to_all(
+            np.float32(sel)))
+    return res, sel

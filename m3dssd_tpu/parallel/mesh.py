@@ -88,7 +88,9 @@ def _put(x, mesh: Mesh, spec) -> jax.Array:
 
     Multi-host contract: every process passes the same GLOBAL array (the
     seeded loaders are deterministic, so each host computes the identical
-    batch and contributes its local slice of it)."""
+    batch and contributes its local slice of it). That duplicates O(hosts)
+    host work — production trainers use `shard_batch(per_host=True)` /
+    `_put_local`, where each process materializes only its own slice."""
     sharding = NamedSharding(mesh, P(*spec))
     if _spans_processes(mesh):
         return jax.make_array_from_callback(x.shape, sharding,
@@ -96,7 +98,67 @@ def _put(x, mesh: Mesh, spec) -> jax.Array:
     return jax.device_put(x, sharding)
 
 
-def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = DATA_AXIS):
+def put_global(x, sharding) -> jax.Array:
+    """Place a host array every process holds IDENTICALLY under `sharding`
+    (a NamedSharding) — device_put when its devices are all local,
+    callback placement when it spans processes. The multi-host twin of the
+    eval driver's explicit device_put (inference/test_driver.py)."""
+    x = np.asarray(x)
+    if sharding is None:
+        return jax.device_put(x)
+    me = jax.process_index()
+    if all(d.process_index == me for d in sharding.device_set):
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def _put_local(x_local, mesh: Mesh, spec) -> jax.Array:
+    """Place a PER-HOST batch slice: this process provides only the rows of
+    the leading ('data') dim its own devices hold; the global array is
+    assembled without any cross-host transfer. Requires
+    `per_host_data_slicing_ok(mesh)` (process-major contiguous 'data'
+    blocks — how `make_mesh` lays out `jax.devices()`)."""
+    sharding = NamedSharding(mesh, P(*spec))
+    if not _spans_processes(mesh):
+        return jax.device_put(x_local, sharding)
+    nproc = jax.process_count()
+    me = jax.process_index()
+    gshape = (x_local.shape[0] * nproc,) + tuple(x_local.shape[1:])
+    off = me * x_local.shape[0]
+
+    def cb(idx):
+        rows = idx[0]
+        start = 0 if rows.start is None else rows.start
+        stop = gshape[0] if rows.stop is None else rows.stop
+        return x_local[(slice(start - off, stop - off),) + tuple(idx[1:])]
+
+    return jax.make_array_from_callback(gshape, sharding, cb)
+
+
+def per_host_data_slicing_ok(mesh: Mesh) -> bool:
+    """True when the 'data' axis splits into process-major contiguous
+    blocks (every data row lives on exactly one process, in process order) —
+    the layout `make_mesh` produces from `jax.devices()` — so each host can
+    materialize only its own batch slice (`shard_batch(per_host=True)`)."""
+    nproc = jax.process_count()
+    if nproc == 1 or DATA_AXIS not in mesh.axis_names:
+        return False
+    dsize = mesh.shape[DATA_AXIS]
+    if dsize % nproc:
+        return False
+    k = dsize // nproc
+    ax = mesh.axis_names.index(DATA_AXIS)
+    dev = np.moveaxis(mesh.devices, ax, 0)
+    for di in range(dsize):
+        procs = {d.process_index for d in np.asarray(dev[di]).flat}
+        if procs != {di // k}:
+            return False
+    return True
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = DATA_AXIS,
+                per_host: bool = False):
     """Place a host batch dict onto the mesh.
 
     Every array shards its leading (batch) dim over 'data'. On a 2-D mesh,
@@ -105,8 +167,16 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = DATA_AXIS):
       per-anchor [B, N] / [B,P,N]-> P(data, spatial) / P(data, None, spatial)
         (N is (h, w, a)-flattened, h-major, so an H shard IS an N shard)
     Scalars-per-image ([B]) and matrices ([B, 4, 4]) stay data-sharded only.
+
+    per_host: the batch holds only THIS process's slice of the global batch
+    (leading dim = global_batch / process_count; loaders built with
+    process_count>1 produce exactly this). Each host then decodes, augments
+    and uploads only its own images — O(1) host work per host instead of the
+    O(hosts) duplicated global batch. Requires
+    `per_host_data_slicing_ok(mesh)`.
     """
     sp = _spatial_size(mesh)
+    put_fn = _put_local if per_host else _put
     # anchor tensors have N = H*W*A in their trailing dim — always large.
     # The size floor keeps small per-image matrices (p2/p2_inv [B,4,4],
     # whose trailing 4 can divide `sp`) data-sharded only, as documented.
@@ -125,7 +195,7 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = DATA_AXIS):
                     and x.shape[2] >= _MIN_N \
                     and x.shape[2] % sp == 0:             # [B, P, N]
                 spec[2] = SPATIAL_AXIS
-        return _put(x, mesh, spec)
+        return put_fn(x, mesh, spec)
     return jax.tree_util.tree_map(put, batch)
 
 

@@ -42,6 +42,11 @@ class Trainer:
         enable_compilation_cache()
         self.conf = conf
         self.data_root = data_root
+        # multi-host: every process trains (SPMD over the global mesh), but
+        # run-dir artifacts — conf/pickle/source snapshot, checkpoints,
+        # result txts, TB scalars — are written by process 0 ONLY (pod
+        # slices share a filesystem; unconditional writes race)
+        self._primary = jax.process_index() == 0
         if timestamped:
             # reference run-tree convention: output/<exp>/<timestamp>/
             # (ref:lib/core.py:698-739 init_training_paths)
@@ -49,7 +54,9 @@ class Trainer:
                                       time.strftime("%Y%m%d_%H%M%S"))
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
-        init_logging(os.path.join(output_dir, "log", "train.log"))
+        log_name = "train.log" if self._primary \
+            else f"train.p{jax.process_index()}.log"
+        init_logging(os.path.join(output_dir, "log", log_name))
         # pretty-printed resolved config in the run log (ref:lib/util.py:32)
         from ..utils.logging_utils import pretty_print
         import dataclasses as _dc
@@ -74,20 +81,41 @@ class Trainer:
         # device-side pack copy — models/dla.py:space_to_depth_np)
         self.packed_input = bool(conf.stem_s2d and conf.crop_size[0] % 2 == 0
                                  and conf.crop_size[1] % 2 == 0)
-        self.loader = TrainLoader(self.dataset, conf.batch_size,
-                                  num_workers=conf.num_workers,
-                                  seed=conf.rng_seed,
-                                  pack_s2d=self.packed_input)
+
+        # the mesh is built BEFORE the loader so the loader can slice the
+        # global batch per host (each process decodes/augments only its own
+        # images when the 'data' axis splits process-major)
+        self.mesh = None
+        self._per_host = False
+        if use_mesh and len(jax.devices()) > 1:
+            sp = max(getattr(conf, "mesh_spatial", 1), 1)
+            mp = max(getattr(conf, "mesh_model", 1), 1)
+            n = conf.dp_devices * sp * mp if conf.dp_devices > 0 \
+                else len(jax.devices())
+            self.mesh = make_mesh(n, spatial=sp, model=mp)
+            from ..parallel import per_host_data_slicing_ok
+            self._per_host = per_host_data_slicing_ok(self.mesh)
+            logging.info("mesh over %d devices: %s (per-host input "
+                         "slicing: %s)", n, dict(self.mesh.shape),
+                         self._per_host)
+
+        self.loader = TrainLoader(
+            self.dataset, conf.batch_size, num_workers=conf.num_workers,
+            seed=conf.rng_seed, pack_s2d=self.packed_input,
+            process_index=jax.process_index() if self._per_host else 0,
+            process_count=jax.process_count() if self._per_host else 1)
         self.steps_per_epoch = self.loader.steps_per_epoch
         self.max_iter = conf.max_epoch * self.steps_per_epoch
 
-        # persist the resolved config with the run (ref:train_rpn_3d.py:127)
-        conf.save(os.path.join(output_dir, "conf.pkl"))
-        # snapshot the package source so old checkpoints keep running with
-        # the code that trained them (ref:lib/core.py:57-70; scripts/test.py
-        # prefers the snapshot)
-        from ..utils.source_snapshot import snapshot_source
-        snapshot_source(output_dir)
+        if self._primary:
+            # persist the resolved config with the run
+            # (ref:train_rpn_3d.py:127)
+            conf.save(os.path.join(output_dir, "conf.pkl"))
+            # snapshot the package source so old checkpoints keep running
+            # with the code that trained them (ref:lib/core.py:57-70;
+            # scripts/test.py prefers the snapshot)
+            from ..utils.source_snapshot import snapshot_source
+            snapshot_source(output_dir)
 
         self.model = build(conf, "train")
         rng = jax.random.PRNGKey(conf.rng_seed)
@@ -103,15 +131,8 @@ class Trainer:
         if conf.pretrained:
             self._load_pretrained(conf.pretrained)
 
-        self.mesh = None
-        if use_mesh and len(jax.devices()) > 1:
-            sp = max(getattr(conf, "mesh_spatial", 1), 1)
-            mp = max(getattr(conf, "mesh_model", 1), 1)
-            n = conf.dp_devices * sp * mp if conf.dp_devices > 0 \
-                else len(jax.devices())
-            self.mesh = make_mesh(n, spatial=sp, model=mp)
+        if self.mesh is not None:
             self.state = replicate_state(self.mesh, self.state)
-            logging.info("mesh over %d devices: %s", n, dict(self.mesh.shape))
         else:
             # single device: upload batches from the prefetch thread so the
             # transfer overlaps the running step (see TrainLoader.to_device)
@@ -121,7 +142,8 @@ class Trainer:
         self.val_dataset = None
         self._eval_detect = None
         from ..utils.profiling import make_tb_writer
-        self.writer = make_tb_writer(os.path.join(output_dir, "log", "tb"))
+        self.writer = make_tb_writer(os.path.join(output_dir, "log", "tb")) \
+            if self._primary else None
 
     def _load_pretrained(self, path: str):
         """Load pretrained weights: a torch checkpoint (reference format /
@@ -231,9 +253,13 @@ class Trainer:
         for epoch in range(start_epoch, epochs):
             for batch in self.loader.batches(self.steps_per_epoch):
                 if self.mesh is not None:
-                    batch = shard_batch(self.mesh, batch)
+                    batch = shard_batch(self.mesh, batch,
+                                        per_host=self._per_host)
                 step_rng = jax.random.fold_in(self.rng, it)
                 self.state, stats = self.train_step(self.state, batch, step_rng)
+                # raw device stats of the most recent step (no host sync);
+                # multi-host tests read the replicated loss from here
+                self.last_stats = stats
                 tracker.update({k: v for k, v in stats.items()})
                 it += 1
                 if it % max(int(conf.display_iter), 1) == 0:
@@ -247,10 +273,19 @@ class Trainer:
 
             if (epoch + 1) % conf.snapshot_epoch == 0 or epoch + 1 == epochs:
                 # async: the D2H snapshot is taken synchronously, the file
-                # write overlaps the next epoch's steps (utils/checkpoint.py)
+                # write overlaps the next epoch's steps (utils/checkpoint.py).
+                # Multi-host: EVERY process must call save — orbax's save
+                # protocol runs global process syncs, and only primary_host
+                # (process 0) actually commits bytes, so the checkpoint is
+                # still written exactly once (gating on process 0 deadlocks
+                # the barrier and kills the run — observed)
                 save_checkpoint(os.path.join(self.output_dir, "weights"),
                                 self.state, it, async_save=True)
             if conf.do_test and (epoch + 1) % conf.eval_epoch == 0:
+                # every process participates in the sharded eval forward;
+                # test_kitti_3d gates result writes/AP on process 0 and
+                # broadcasts the selection metric so all processes take the
+                # same best-model branch (the save syncs globally, above)
                 sel = self._eval(epoch + 1)
                 if sel > self.best_metric:
                     self.best_metric = sel
@@ -265,8 +300,9 @@ class Trainer:
         """End-of-run convention: rename the run directory to carry the best
         selection metric, `<output_dir>_<best>` (ref:scripts/train_rpn_3d.py
         :305-308 renames when the metric is meaningful). Returns the (possibly
-        renamed) output path. No-op when no eval produced a metric."""
-        if self.best_metric <= 0:
+        renamed) output path. No-op when no eval produced a metric, and on
+        non-primary multi-host processes."""
+        if self.best_metric <= 0 or not self._primary:
             return self.output_dir
         if self.writer is not None:
             try:

