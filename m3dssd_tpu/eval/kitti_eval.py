@@ -203,6 +203,185 @@ def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
     return tp, fp, fn, similarity, np.array(thresholds)
 
 
+def compute_statistics_fast(overlaps, gt_datas, dt_datas, ignored_gt,
+                            ignored_det, dc_bboxes, metric, min_overlap,
+                            thresh=0.0, compute_fp=False, compute_aos=False,
+                            dt_dc_overlaps=None):
+    """`compute_statistics` with the inner detection scan vectorized.
+
+    Same greedy semantics (equivalence-tested against the transcription
+    above): per ground truth, the running-max scan over detections becomes
+    one masked numpy argmax — the earliest index wins ties exactly like the
+    sequential strict-> comparison. Used by the pure-Python fallback so a
+    host without a C++ toolchain stays usable (ref:lib/eval/eval.py:290-336
+    `fused_compute_statistics` batches the same way with numba upstream).
+
+    dt_dc_overlaps: optional precomputed [num_dt, num_dc] DontCare overlap
+    matrix (it does not depend on the threshold — callers batching the 41
+    thresholds compute it once per image).
+    """
+    det_size = dt_datas.shape[0]
+    gt_size = gt_datas.shape[0]
+    dt_scores = dt_datas[:, -1]
+    dt_alphas = dt_datas[:, 4]
+    gt_alphas = gt_datas[:, 4]
+    ignored_det = np.asarray(ignored_det)
+
+    if compute_fp:
+        ignored_threshold = dt_scores < thresh
+    else:
+        ignored_threshold = np.zeros(det_size, bool)
+    assigned = np.zeros(det_size, bool)
+    base_cand = (ignored_det != -1) & ~ignored_threshold
+    is_det0 = ignored_det == 0
+    is_det1 = ignored_det == 1
+
+    tp = fp = fn = 0
+    similarity = 0.0
+    thresholds = []
+    delta = []
+    for i in range(gt_size):
+        if ignored_gt[i] == -1:
+            continue
+        cand = base_cand & ~assigned
+        ov = overlaps[:, i]
+        det_idx = -1
+        valid_detection = NO_DETECTION
+        if not compute_fp:
+            m = cand & (ov > min_overlap)
+            if m.any():
+                det_idx = int(np.argmax(np.where(m, dt_scores, -np.inf)))
+                valid_detection = dt_scores[det_idx]
+        else:
+            # priority: max-overlap among evaluated (ignored_det == 0)
+            # detections; else the first ignorable (== 1) one
+            m0 = cand & (ov > min_overlap) & is_det0
+            if m0.any():
+                det_idx = int(np.argmax(np.where(m0, ov, -np.inf)))
+                valid_detection = 1
+            else:
+                m1 = cand & (ov > min_overlap) & is_det1
+                if m1.any():
+                    det_idx = int(np.argmax(m1))       # first True
+                    valid_detection = 1
+        if valid_detection == NO_DETECTION and ignored_gt[i] == 0:
+            fn += 1
+        elif valid_detection != NO_DETECTION \
+                and (ignored_gt[i] == 1 or ignored_det[det_idx] == 1):
+            assigned[det_idx] = True
+        elif valid_detection != NO_DETECTION:
+            tp += 1
+            thresholds.append(dt_scores[det_idx])
+            if compute_aos:
+                delta.append(gt_alphas[i] - dt_alphas[det_idx])
+            assigned[det_idx] = True
+
+    if compute_fp:
+        eligible = ~assigned & is_det0 & ~ignored_threshold
+        fp = int(np.count_nonzero(eligible))
+        nstuff = 0
+        if metric == 0 and len(dc_bboxes) > 0:
+            if dt_dc_overlaps is None:
+                dt_dc_overlaps = image_box_overlap(
+                    dt_datas[:, :4], np.asarray(dc_bboxes), 0)
+            nstuff = int(np.count_nonzero(
+                eligible & (dt_dc_overlaps.max(axis=1) > min_overlap)))
+        fp -= nstuff
+        if compute_aos:
+            tmp = (1.0 + np.cos(np.asarray(delta))) / 2.0
+            similarity = float(tmp.sum()) if (tp > 0 or fp > 0) else -1.0
+    return tp, fp, fn, similarity, np.array(thresholds)
+
+
+def fused_statistics_py(overlaps, gt_datas, dt_datas, ignored_gt,
+                        ignored_det, dc_bboxes, metric, min_overlap,
+                        thresholds, compute_aos, pr):
+    """Accumulate tp/fp/fn/similarity into pr [nthresh, 4] for one image —
+    the pure-Python twin of native.fused_statistics (and of the reference's
+    numba `fused_compute_statistics`, ref:lib/eval/eval.py:290-336).
+
+    ALL thresholds are matched simultaneously: the per-gt greedy step runs
+    once on [T, num_dt] matrices (the threshold only enters through which
+    detections are below it), so the python fallback costs one matrix
+    matching per image instead of 41 separate matchings. Equivalence with
+    the per-threshold transcription loop is tested."""
+    T = len(thresholds)
+    det_size = dt_datas.shape[0]
+    gt_size = gt_datas.shape[0]
+    if T == 0:
+        return
+    dt_scores = dt_datas[:, -1]
+    dt_alphas = dt_datas[:, 4]
+    gt_alphas = gt_datas[:, 4]
+    ignored_det = np.asarray(ignored_det)
+    thr = np.asarray(thresholds, np.float64)
+
+    ignored_threshold = dt_scores[None, :] < thr[:, None]       # [T, D]
+    base_cand = (ignored_det != -1)[None, :] & ~ignored_threshold
+    is_det0 = (ignored_det == 0)[None, :]
+    is_det1 = (ignored_det == 1)[None, :]
+    assigned = np.zeros((T, det_size), bool)
+
+    tp = np.zeros(T, np.int64)
+    fn = np.zeros(T, np.int64)
+    sim = np.zeros(T, np.float64)
+    rows = np.arange(T)
+    for i in range(gt_size):
+        if ignored_gt[i] == -1:
+            continue
+        ov = overlaps[:, i][None, :]                            # [1, D]
+        cand = base_cand & ~assigned
+        m0 = cand & (ov > min_overlap) & is_det0
+        any0 = m0.any(axis=1)
+        idx0 = np.argmax(np.where(m0, ov, -np.inf), axis=1)
+        m1 = cand & (ov > min_overlap) & is_det1
+        any1 = ~any0 & m1.any(axis=1)
+        det_idx = np.where(any0, idx0, np.argmax(m1, axis=1))   # [T]
+        has = any0 | any1
+        if ignored_gt[i] == 0:
+            fn += ~has
+        assigned[rows[has], det_idx[has]] = True
+        if ignored_gt[i] != 1:
+            tp_mask = has & (ignored_det[det_idx] != 1)
+            tp += tp_mask
+            if compute_aos:
+                d = gt_alphas[i] - dt_alphas[det_idx]
+                sim += np.where(tp_mask, (1.0 + np.cos(d)) / 2.0, 0.0)
+
+    eligible = ~assigned & is_det0 & ~ignored_threshold
+    fp = eligible.sum(axis=1)
+    if metric == 0 and len(dc_bboxes) > 0:
+        dt_dc = image_box_overlap(dt_datas[:, :4], np.asarray(dc_bboxes), 0)
+        stuffed = (dt_dc.max(axis=1) > min_overlap)[None, :]
+        fp -= (eligible & stuffed).sum(axis=1)
+    pr[:, 0] += tp
+    pr[:, 1] += fp
+    pr[:, 2] += fn
+    # per-threshold sim is -1 (not accumulated) only when tp == fp == 0, and
+    # then the delta sum is 0 anyway — unconditional add is identical
+    pr[:, 3] += sim
+
+
+_ENGINE_LOGGED = False
+
+
+def _log_engine(use_native: bool):
+    """Say loudly (once per process) which matching engine runs — the
+    silent fallback to pure Python is minutes-to-hours on a full val split."""
+    global _ENGINE_LOGGED
+    if _ENGINE_LOGGED:
+        return
+    _ENGINE_LOGGED = True
+    if use_native:
+        logging.info("KITTI eval engine: native C++ (eval/native.py)")
+    else:
+        logging.warning(
+            "KITTI eval engine: pure Python fallback — the native C++ "
+            "engine is unavailable (no g++ toolchain, failed build, or "
+            "M3DSSD_NO_NATIVE=1). Evaluation of large splits will be "
+            "markedly slower.")
+
+
 def _image_overlaps(gt_annos, dt_annos, metric):
     """Per-image [num_dt, num_gt] overlap matrices (ref::340-436
     calculate_iou_partly, without the partitioning — numpy batches per image
@@ -261,7 +440,9 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
     assert len(gt_annos) == len(dt_annos)
     from . import native
     use_native = native.available()
-    stats_fn = native.compute_statistics if use_native else compute_statistics
+    _log_engine(use_native)
+    stats_fn = native.compute_statistics if use_native \
+        else compute_statistics_fast
     overlaps = _image_overlaps(gt_annos, dt_annos, metric)
 
     num_class = len(current_classes)
@@ -298,18 +479,10 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                             metric, min_overlap, thresholds, compute_aos, pr)
                 else:
                     for i in range(len(gt_annos)):
-                        for t, thresh in enumerate(thresholds):
-                            tp, fp, fn, sim, _ = compute_statistics(
-                                overlaps[i], gt_datas_list[i],
-                                dt_datas_list[i], ignored_gts[i],
-                                ignored_dets[i], dontcares[i], metric,
-                                min_overlap=min_overlap, thresh=thresh,
-                                compute_fp=True, compute_aos=compute_aos)
-                            pr[t, 0] += tp
-                            pr[t, 1] += fp
-                            pr[t, 2] += fn
-                            if sim != -1:
-                                pr[t, 3] += sim
+                        fused_statistics_py(
+                            overlaps[i], gt_datas_list[i], dt_datas_list[i],
+                            ignored_gts[i], ignored_dets[i], dontcares[i],
+                            metric, min_overlap, thresholds, compute_aos, pr)
                 for i in range(len(thresholds)):
                     recall[m, l, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 2])
                     precision[m, l, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 1])

@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""One-process detect batch-size sweep at the bench shape (512x1760).
+"""One-process detect sweep at the bench shape (512x1760): batch sizes x
+NMS-variant knobs.
 
 Same methodology as bench.py (packed input, bias_background, steady-state
-timing) but sweeps batch sizes in a single process so the persistent
-compile cache and model init are shared.
+timing) but sweeps in a single process so the persistent compile cache and
+model init are shared.
 
     python scripts/detect_sweep.py --batches 8,10,12
+    python scripts/detect_sweep.py --batches 8 --variants stop,nostop,bitmask
 """
 
 import argparse
@@ -16,9 +18,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# NMS-variant knobs (config.py; ops/nms.py). `stop` is the config default
+# since round 4 (sequential selection ends once the best remaining score
+# drops below score_thres — exact, the driver filters those rows anyway);
+# `bitmask` resolves greedy NMS by parallel Jacobi rounds instead of the
+# 40-step sequential argmax chain (equality-tested probe).
+VARIANTS = {
+    "stop": {"nms_score_stop": True, "nms_bitmask": False},
+    "nostop": {"nms_score_stop": False, "nms_bitmask": False},
+    "bitmask": {"nms_score_stop": True, "nms_bitmask": True},
+}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="8,10,12")
+    p.add_argument("--variants", default=None,
+                   help="comma list of NMS variants (default: conf as-is)")
     p.add_argument("--shape", type=int, nargs=2, default=[512, 1760])
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -38,31 +54,38 @@ def main():
     from m3dssd_tpu.models.dla import space_to_depth_np
     from m3dssd_tpu.models.rpn import bias_background
 
-    conf = _flagship_conf(tuple(args.shape))
-    model = build(conf)
-    rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
+    base_conf = _flagship_conf(tuple(args.shape))
+    model = build(base_conf)
+    rois = locate_anchors(base_conf.anchors, base_conf.feat_size,
+                          base_conf.feat_stride)
     rng = jax.random.PRNGKey(0)
     gen = np.random.default_rng(0)
     variables = model.init(rng, jnp.zeros((1, 64, 128, 3), jnp.float32),
                            train=False)
-    params = bias_background(variables["params"], conf.num_classes)
+    params = bias_background(variables["params"], base_conf.num_classes)
     bstats = variables.get("batch_stats", {})
 
-    detect = make_batch_detector(conf, rois, model, packed_input=True)
-    for bs in [int(b) for b in args.batches.split(",")]:
-        x = jnp.asarray(space_to_depth_np(gen.normal(
-            size=(bs, args.shape[0], args.shape[1], 3)).astype(np.float32)))
-        sf = jnp.ones((bs,), jnp.float32)
-        out = detect(params, bstats, x, sf)
-        jax.block_until_ready(out)
-        iters = max(64 // bs, 8)
-        t0 = time.perf_counter()
-        for _ in range(iters):
+    variants = (args.variants.split(",") if args.variants else [None])
+    for name in variants:
+        conf = base_conf.replace(**VARIANTS[name]) if name else base_conf
+        # decode/NMS knobs don't touch the param tree: model/params shared
+        detect = make_batch_detector(conf, rois, model, packed_input=True)
+        tag = f"[{name}] " if name else ""
+        for bs in [int(b) for b in args.batches.split(",")]:
+            x = jnp.asarray(space_to_depth_np(gen.normal(
+                size=(bs, args.shape[0], args.shape[1], 3))
+                .astype(np.float32)))
+            sf = jnp.ones((bs,), jnp.float32)
             out = detect(params, bstats, x, sf)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        print(f"bs={bs}: {1e3 * dt:.1f} ms/step = {bs / dt:.1f} im/s/chip",
-              flush=True)
+            jax.block_until_ready(out)
+            iters = max(64 // bs, 8)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = detect(params, bstats, x, sf)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / iters
+            print(f"{tag}bs={bs}: {1e3 * dt:.1f} ms/step = "
+                  f"{bs / dt:.1f} im/s/chip", flush=True)
 
 
 if __name__ == "__main__":

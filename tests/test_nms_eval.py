@@ -310,3 +310,85 @@ def test_nms_bitmask_suppression_chain():
     assert k == 2
     np.testing.assert_array_equal(np.asarray(si)[:k], np.asarray(bi)[:k])
     assert set(np.asarray(bi)[:k].tolist()) == {0, 2}
+
+
+@pytest.mark.parametrize("metric", [0, 1])
+@pytest.mark.parametrize("compute_fp", [False, True])
+def test_compute_statistics_fast_matches_transcription(metric, compute_fp):
+    """The vectorized fallback matcher equals the protocol transcription on
+    randomized scenarios (same generator as the native parity test)."""
+    from m3dssd_tpu.eval.kitti_eval import (compute_statistics,
+                                            compute_statistics_fast)
+    rng = np.random.default_rng(5)
+    for case in range(30):
+        ngt = int(rng.integers(0, 14))
+        ndt = int(rng.integers(0, 18))
+        gt = np.concatenate([np.sort(rng.uniform(0, 300, [ngt, 4]), axis=1),
+                             rng.uniform(-np.pi, np.pi, [ngt, 1])], axis=1)
+        dt = np.concatenate([np.sort(rng.uniform(0, 300, [ndt, 4]), axis=1),
+                             rng.uniform(-np.pi, np.pi, [ndt, 1]),
+                             rng.uniform(0, 1, [ndt, 1])], axis=1)
+        # quantize scores/overlaps so exact ties exercise tie-breaking
+        dt[:, -1] = np.round(dt[:, -1] * 8) / 8
+        overlaps = np.round(rng.uniform(0, 1, [ndt, ngt]) * 8) / 8
+        ig = rng.choice([-1, 0, 1], ngt, p=[0.2, 0.6, 0.2]).astype(np.int64)
+        idt = rng.choice([-1, 0, 1], ndt, p=[0.2, 0.6, 0.2]).astype(np.int64)
+        dc = np.sort(rng.uniform(0, 300, [2, 4]), axis=1)
+        for thresh in ([0.0] if not compute_fp else [0.0, 0.5, 0.875]):
+            want = compute_statistics(overlaps, gt, dt, ig, idt, dc, metric,
+                                      min_overlap=0.5, thresh=thresh,
+                                      compute_fp=compute_fp,
+                                      compute_aos=compute_fp)
+            got = compute_statistics_fast(overlaps, gt, dt, ig, idt, dc,
+                                          metric, min_overlap=0.5,
+                                          thresh=thresh,
+                                          compute_fp=compute_fp,
+                                          compute_aos=compute_fp)
+            assert want[:3] == got[:3], (case, thresh)
+            np.testing.assert_allclose(got[3], want[3], rtol=1e-12)
+            np.testing.assert_array_equal(got[4], want[4])
+
+
+def test_fused_statistics_py_matches_per_threshold_loop():
+    from m3dssd_tpu.eval.kitti_eval import (compute_statistics,
+                                            fused_statistics_py)
+    rng = np.random.default_rng(6)
+    ngt, ndt = 10, 14
+    gt = np.concatenate([np.sort(rng.uniform(0, 300, [ngt, 4]), axis=1),
+                         rng.uniform(-np.pi, np.pi, [ngt, 1])], axis=1)
+    dt = np.concatenate([np.sort(rng.uniform(0, 300, [ndt, 4]), axis=1),
+                         rng.uniform(-np.pi, np.pi, [ndt, 1]),
+                         rng.uniform(0, 1, [ndt, 1])], axis=1)
+    overlaps = rng.uniform(0, 1, [ndt, ngt])
+    ig = np.zeros(ngt, np.int64)
+    idt = np.zeros(ndt, np.int64)
+    dc = np.sort(rng.uniform(0, 300, [1, 4]), axis=1)
+    thresholds = np.linspace(0.0, 0.9, 41)
+    pr = np.zeros([41, 4])
+    fused_statistics_py(overlaps, gt, dt, ig, idt, dc, 0, 0.5, thresholds,
+                        True, pr)
+    want = np.zeros([41, 4])
+    for t, th in enumerate(thresholds):
+        tp, fp, fn, sim, _ = compute_statistics(
+            overlaps, gt, dt, ig, idt, dc, 0, min_overlap=0.5, thresh=th,
+            compute_fp=True, compute_aos=True)
+        want[t] += [tp, fp, fn, sim if sim != -1 else 0.0]
+    np.testing.assert_allclose(pr, want, rtol=1e-12)
+
+
+def test_eval_engine_is_announced(caplog):
+    """eval_class must say which matching engine ran (the silent python
+    fallback was minutes-slow on large splits before it was batched)."""
+    import logging as _logging
+    import m3dssd_tpu.eval.kitti_eval as ke
+    ke._ENGINE_LOGGED = False
+    gt = [{"name": np.array(["Car"]), "truncated": np.zeros(1),
+           "occluded": np.zeros(1, np.int64), "alpha": np.zeros(1),
+           "bbox": np.array([[0.0, 0.0, 100.0, 100.0]]),
+           "dimensions": np.ones((1, 3)), "location": np.zeros((1, 3)),
+           "rotation_y": np.zeros(1)}]
+    dt = [dict(gt[0], score=np.array([0.9]))]
+    with caplog.at_level(_logging.INFO):
+        ke.eval_class(gt, dt, [0], [1], 0, ke.OVERLAP_0_7[None][:, :, [0]])
+    assert any("KITTI eval engine" in r.message for r in caplog.records)
+    ke._ENGINE_LOGGED = False
