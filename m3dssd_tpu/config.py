@@ -55,8 +55,12 @@ class Config:
     # hand-written transpose for the shifted-MAC DCN backward
     # (ops/dcn.py:_dcn_shift_core_bwd): input-only residuals (no stored
     # im2col columns) + a shared C-dot table for the offset/mask grads.
-    # Grad-equality vs autodiff is tested; False = XLA autodiff (A/B knob).
-    dcn_custom_vjp: bool = True
+    # Grad-equality vs autodiff is tested. Default OFF by measurement
+    # (2026-08-19 controlled A/B, flagship 384x1280 bs=8: autodiff 195.3
+    # ms/step vs custom 209.6 — the dW column recompute costs real FLOPs
+    # while XLA's stored-column transpose fits HBM at bs<=8). Turn ON as an
+    # HBM-headroom knob: input-only residuals won 6.4% at bs=12 (PERF.md).
+    dcn_custom_vjp: bool = False
     # skip the logging-only per-step loss stats (class-accuracy argmax +
     # the two full 3D decodes behind err_z/err_ry). Training math is
     # identical; default False = reference stats protocol
@@ -172,11 +176,14 @@ class Config:
     # images carry a handful of above-threshold detections, so the 40
     # sequential rounds (~6 ms/step at bs=8, PERF.md) shrink to 1-10.
     nms_score_stop: bool = True
-    # resolve greedy NMS on the compacted sparse candidates by parallel
-    # bitmask fixpoint rounds instead of sequential argmax rounds
-    # (ops/nms.py nms_bitmask_select_t; only takes effect with
-    # nms_sparse_topm > 0). Equality-tested probe.
-    nms_bitmask: bool = False
+    # resolve greedy NMS over the top_pre candidates by parallel bitmask
+    # fixpoint rounds (ops/nms.py nms_bitmask_select_t — the TPU twin of the
+    # reference's CUDA bitmask kernel) instead of sequential argmax rounds.
+    # Equality-tested; measured 2026-08-19 at 512x1760 bs=8: 74.6 ms/step vs
+    # 75.2 (score early-stop) / 77.5 (plain sequential), and round count is
+    # suppression-chain depth (~3-5) regardless of how many detections clear
+    # the score threshold — no sequential tail on busy images.
+    nms_bitmask: bool = True
 
     test_protocol: str = "kitti"
     test_db: str = "kitti"

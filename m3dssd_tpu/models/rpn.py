@@ -99,7 +99,7 @@ class M3DRPN(nn.Module):
     align_thresh: float = 0.5
     remat_dcn: bool = False            # backward-pass remat knobs (config.py)
     remat_towers: bool = False
-    dcn_custom_vjp: bool = True        # hand-written shift-DCN transpose
+    dcn_custom_vjp: bool = False       # hand-written shift-DCN transpose (HBM knob)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -293,6 +293,6 @@ def build(conf, phase: str = "train") -> M3DRPN:
         sparse_align_train=bool(getattr(conf, "sparse_align_train", False)),
         remat_dcn=bool(getattr(conf, "remat_dcn", False)),
         remat_towers=bool(getattr(conf, "remat_towers", False)),
-        dcn_custom_vjp=bool(getattr(conf, "dcn_custom_vjp", True)),
+        dcn_custom_vjp=bool(getattr(conf, "dcn_custom_vjp", False)),
         dtype=dtype,
     )

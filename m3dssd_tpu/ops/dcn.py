@@ -475,7 +475,7 @@ _dcn_shift_core.defvjp(_dcn_shift_core_fwd, _dcn_shift_core_bwd)
 
 @functools.partial(jax.jit, static_argnames=("clamp", "custom_vjp"))
 def dcn_v2_shift(x, offset, mask, weight, bias=None, *, clamp: float = 1.0,
-                 custom_vjp: bool = True):
+                 custom_vjp: bool = False):
     """Deformable conv v2 with offsets clamped to [-clamp, clamp], computed
     as static shifted MACs — NO gather.
 
@@ -491,12 +491,15 @@ def dcn_v2_shift(x, offset, mask, weight, bias=None, *, clamp: float = 1.0,
     practice — the DCN accelerator literature clamps for the same locality
     reason); derived-offset alignment layers keep the gather path.
 
-    custom_vjp (default): the backward runs the hand-written transpose in
+    custom_vjp=True: the backward runs the hand-written transpose in
     `_dcn_shift_core_bwd` — input-only residuals (no stored im2col columns)
     and a shared C-dot table for the offset/mask grads. Grad-equality vs the
     autodiff path (including at the subgradient ties) is tested in
-    tests/test_dcn.py. Set False for XLA's autodiff transpose (A/B knob:
-    conf.dcn_custom_vjp / train_ab variant `ad_vjp`).
+    tests/test_dcn.py. Default False by measurement (2026-08-19 controlled
+    A/B at flagship 384x1280 bs=8: autodiff 195.3 ms/step vs 209.6 — the dW
+    column recompute costs real FLOPs while the stored-column transpose
+    fits HBM); True is the HBM-headroom knob (won 6.4% at bs=12, PERF.md).
+    A/B: conf.dcn_custom_vjp / train_ab variants `cvjp_light`/`ad_vjp`.
 
     stride=1, dilation=1, padding=K//2 only (the neck DCN configuration).
     """

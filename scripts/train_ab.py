@@ -34,10 +34,11 @@ VARIANTS = {
     "remat_both": {"remat_dcn": True, "remat_towers": True},
     "light_stats": {"loss_light_stats": True},
     "remat_dcn_light": {"remat_dcn": True, "loss_light_stats": True},
-    # XLA autodiff transpose for the shift-DCN backward (the pre-round-4
-    # default) — A/B partner of the hand-written VJP (ops/dcn.py)
+    # A/B pair for the shift-DCN backward (ops/dcn.py): XLA autodiff
+    # transpose (the measured winner at bs<=8, config default) vs the
+    # hand-written input-only-residual VJP (HBM-headroom knob)
     "ad_vjp": {"dcn_custom_vjp": False, "loss_light_stats": True},
-    "cvjp_light": {"loss_light_stats": True},   # alias: custom VJP is default
+    "cvjp_light": {"dcn_custom_vjp": True, "loss_light_stats": True},
     "ad_vjp_remat": {"dcn_custom_vjp": False, "remat_dcn": True,
                      "loss_light_stats": True},
 }
@@ -161,10 +162,15 @@ def main():
                 # always tag sweep keys so --flagship_final auto re-measures
                 # at the swept batch, not the --batch default
                 key = f"{name}@bs{b}" if args.batch_sweep else name
-                results[key] = measure(conf, tuple(args.shape), b,
-                                       args.iters, args.donate, args.bg_bias,
-                                       f"{args.backbone} {key}",
-                                       memstats=args.memstats)
+                try:
+                    results[key] = measure(conf, tuple(args.shape), b,
+                                           args.iters, args.donate,
+                                           args.bg_bias,
+                                           f"{args.backbone} {key}",
+                                           memstats=args.memstats)
+                except Exception as e:  # OOM at a big batch: keep sweeping
+                    print(f"[{key}] FAILED: {type(e).__name__}: "
+                          f"{str(e)[:300]}", flush=True)
 
     if args.flagship_final == "auto":
         assert results, "--flagship_final auto needs --variants"
