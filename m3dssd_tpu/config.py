@@ -66,6 +66,12 @@ class Config:
     # identical; default False = reference stats protocol
     # (ref:lib/loss/rpn_3d.py:1099-1105 computes them every iteration).
     loss_light_stats: bool = False
+    # loss consumes the model's channel-major class maps (cls_t/prob_t/lse
+    # [B,C,N]): class-dim softmax/CE/argmax run as C lane-perfect [B,N]
+    # slice ops instead of reductions over a C=4 minor dim (97% lane
+    # waste). Math identical (equality-tested incl. gradients); False
+    # falls back to the [B,N,C] path.
+    loss_channel_major: bool = True
 
     # ----------------------------------------------------------------- solver
     solver_type: str = "sgd"          # sgd | adam | adamax

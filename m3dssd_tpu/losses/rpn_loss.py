@@ -55,6 +55,11 @@ class RPNLossConfig:
     # dict just omits those keys. The reference computes them every
     # iteration (ref:lib/loss/rpn_3d.py:1099-1105), so the default matches.
     light_stats: bool = False
+    # consume the model's channel-major class maps (cls_t/prob_t/lse,
+    # [B,C,N]) instead of the flattened [B,N,C] forms: every class-dim
+    # reduction/broadcast becomes C ops over lane-perfect [B,N] slices
+    # (C=4 in the 128-lane minor dim wastes 97% of the vector lanes)
+    channel_major: bool = True
 
     @staticmethod
     def from_conf(conf) -> "RPNLossConfig":
@@ -66,7 +71,8 @@ class RPNLossConfig:
             bbox_3d_lambda=conf.bbox_3d_lambda,
             bbox_3d_proj_lambda=conf.bbox_3d_proj_lambda,
             bbox_3d_iou_lambda=conf.bbox_3d_iou_lambda,
-            light_stats=bool(getattr(conf, "loss_light_stats", False)))
+            light_stats=bool(getattr(conf, "loss_light_stats", False)),
+            channel_major=bool(getattr(conf, "loss_channel_major", True)))
 
 
 def _rank_select(score, pool_mask, budget, key):
@@ -137,6 +143,27 @@ def _take_class(v, lbl):
     return jnp.sum(v * oh, axis=-1)
 
 
+def _take_class_t(v_t, lbl):
+    """`_take_class` on a channel-major [B, C, N] tensor: C compare+selects
+    over [B, N] lane-perfect slices — the class dim never enters a layout
+    (a [B,N,4] minor dim tiles T(4,128): 97% lane waste, and its softmax
+    broadcasts alone cost ~2.4 ms/step at [8,276k,4] — PERF.md round 4)."""
+    C = v_t.shape[1]
+    return sum(jnp.where(lbl == c, v_t[:, c], 0.0) for c in range(C))
+
+
+def _argmax_class_t(v_t):
+    """argmax over the class dim of [B, C, N] by a compare chain (first-max
+    ties like jnp.argmax)."""
+    best = v_t[:, 0]
+    pred = jnp.zeros(best.shape, jnp.int32)
+    for c in range(1, v_t.shape[1]):
+        take = v_t[:, c] > best
+        pred = jnp.where(take, c, pred)
+        best = jnp.maximum(best, v_t[:, c])
+    return pred
+
+
 def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
                 rois: jnp.ndarray, anchors: jnp.ndarray,
                 bbox_means: jnp.ndarray, bbox_stds: jnp.ndarray,
@@ -151,12 +178,22 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
            major — the loader transposes host-side), any_val [B].
     rois [N,5]; anchors [A,9]; bbox_means/stds [1,11] or [11].
     """
-    cls = outputs["cls"].astype(jnp.float32)
-    prob = jax.lax.stop_gradient(outputs["prob"].astype(jnp.float32))
+    # channel-major fast path (cls_t/prob_t/lse [B,C,N]/[B,N], emitted by
+    # models/rpn.py): every class-dim op becomes C ops over lane-perfect
+    # [B,N] slices. The [B,N,C] path remains for hand-built output dicts.
+    use_t = cfg.channel_major and "cls_t" in outputs
+    if use_t:
+        cls_t = outputs["cls_t"].astype(jnp.float32)          # [B,C,N]
+        prob_t = jax.lax.stop_gradient(
+            outputs["prob_t"].astype(jnp.float32))
+        lse = outputs["lse"].astype(jnp.float32)              # [B,N]
+        B, C, N = cls_t.shape
+    else:
+        cls = outputs["cls"].astype(jnp.float32)
+        prob = jax.lax.stop_gradient(outputs["prob"].astype(jnp.float32))
+        B, N, C = cls.shape
     bbox_2d = outputs["bbox_2d"].astype(jnp.float32)
     bbox_3d = outputs["bbox_3d"].astype(jnp.float32)
-
-    B, N, C = cls.shape
     means = jnp.asarray(bbox_means, jnp.float32).reshape(-1)
     stds = jnp.asarray(bbox_stds, jnp.float32).reshape(-1)
     rois = jnp.asarray(rois, jnp.float32)
@@ -184,7 +221,8 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
 
     # score of the *labeled* class (bg anchors have label 0)
     lbl_for_score = jnp.where(labels == IGN_FLAG, 0, labels)
-    score = _take_class(prob, lbl_for_score)
+    score = _take_class_t(prob_t, lbl_for_score) if use_t \
+        else _take_class(prob, lbl_for_score)
 
     if cfg.hard_negatives:
         sel_score = score
@@ -214,8 +252,12 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
 
     # ------------------------------------------------------------- cls loss
     if cfg.cls_2d_lambda:
-        logp = jax.nn.log_softmax(cls, axis=-1)
-        ce = -_take_class(logp, lbl_for_score)
+        if use_t:
+            # -log_softmax[lbl] == lse - logit[lbl], all in [B,N] space
+            ce = lse - _take_class_t(cls_t, lbl_for_score)
+        else:
+            logp = jax.nn.log_softmax(cls, axis=-1)
+            ce = -_take_class(logp, lbl_for_score)
         ce = jnp.clip(ce * labels_weight, 0.0, 2000.0)
         loss_cls = masked_mean(ce, active) * cfg.cls_2d_lambda
         loss = loss + loss_cls
@@ -223,7 +265,8 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
 
     # accuracy stats over *all* labeled anchors (ref::1099-1105)
     if not cfg.light_stats:
-        cls_pred = jnp.argmax(cls, axis=-1)
+        cls_pred = _argmax_class_t(cls_t) if use_t \
+            else jnp.argmax(cls, axis=-1)
         lab_fg_all = (labels > 0) & (labels != IGN_FLAG)
         lab_bg_all = labels == 0
         stats["acc_fg"] = masked_mean(

@@ -156,20 +156,25 @@ class M3DRPN(nn.Module):
         H, W = x.shape[1], x.shape[2]
 
         cls = self.cls_tower(x, train).reshape(B, H, W, A, self.num_classes)
-        prob = nn.softmax(cls.astype(jnp.float32), axis=-1)
-        # per-anchor foreground confidence (1 - P(bg)), detached
-        fg_prob = (1.0 - prob[..., 0]).astype(x.dtype)     # [B,H,W,A]
 
-        # eval-side detection score / class, computed HERE from per-class
-        # lane-slices of the conv-native map: reducing the flattened
-        # [B*N, C] prob instead costs ~2 ms/img at 512x1760 (C=4 classes in
-        # the 128-lane minor dim wastes 97% of the vector lanes). All ops
-        # below are elementwise on [B,H,W,A] slices; consumers that don't
-        # touch these outputs (the train step) DCE them.
+        # ALL classification-derived quantities (softmax, logsumexp, fg
+        # confidence, detection scores) are computed from per-class
+        # lane-slices of the conv-native map: any reduction/broadcast over
+        # the flattened [B*N, C] layout puts C=4 classes in the 128-lane
+        # minor dim (97% lane waste — ~2 ms/img at 512x1760 eval-side and
+        # ~5 ms/step of poisoned softmax/CE layouts train-side, PERF.md).
+        # Ops below are elementwise on [B,H,W,A] slices; consumers that
+        # don't touch an output (either direction) DCE it.
         sl = [cls[..., c].astype(jnp.float32) for c in
               range(self.num_classes)]
         m_all = functools.reduce(jnp.maximum, sl)
         z = sum(jnp.exp(s - m_all) for s in sl)
+        lse = m_all + jnp.log(z)                           # [B,H,W,A]
+        prob_sl = [jnp.exp(s - m_all) / z for s in sl]     # softmax slices
+        prob = jnp.stack(prob_sl, axis=-1)                 # [B,H,W,A,C]
+        # per-anchor foreground confidence (1 - P(bg)), detached
+        fg_prob = (1.0 - prob_sl[0]).astype(x.dtype)       # [B,H,W,A]
+
         m_fg = functools.reduce(jnp.maximum, sl[1:])
         det_scores = jnp.exp(m_fg - m_all) / z             # max fg softmax
         det_cls = jnp.zeros(m_fg.shape, jnp.float32)
@@ -235,6 +240,13 @@ class M3DRPN(nn.Module):
         return {
             "cls": flatten_anchor_map(cls).astype(jnp.float32),
             "prob": flatten_anchor_map(prob),
+            # channel-major twins + logsumexp for the loss (losses/rpn_loss
+            # consumes THESE; the [B,N,C] forms above are kept for API
+            # parity and DCE away in the train step): N stays on the lane
+            # dim, C=4 never touches a layout
+            "cls_t": jnp.stack([f32(s) for s in sl], axis=1),     # [B,C,N]
+            "prob_t": jnp.stack([f32(p) for p in prob_sl], axis=1),
+            "lse": flatten_anchor_map(lse),                # [B, N]
             "scores": flatten_anchor_map(det_scores),      # [B, N]
             "cls_pred": flatten_anchor_map(det_cls),       # [B, N]
             "bbox_2d": bbox_2d,

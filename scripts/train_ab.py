@@ -41,6 +41,10 @@ VARIANTS = {
     "cvjp_light": {"dcn_custom_vjp": True, "loss_light_stats": True},
     "ad_vjp_remat": {"dcn_custom_vjp": False, "remat_dcn": True,
                      "loss_light_stats": True},
+    # A/B pair for the channel-major class-map loss path (losses/rpn_loss):
+    # lane-sliced cls_t/prob_t/lse vs the legacy [B,N,C] softmax/CE layout
+    "cm_light": {"loss_channel_major": True, "loss_light_stats": True},
+    "nocm_light": {"loss_channel_major": False, "loss_light_stats": True},
 }
 
 

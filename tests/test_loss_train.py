@@ -113,6 +113,40 @@ def test_empty_image_contributes_nothing():
     np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
 
 
+def test_loss_channel_major_path_matches_legacy():
+    """The cls_t/prob_t/lse fast path (lane-sliced class dim, what the real
+    model emits) computes the same loss, stats, and logits-gradient as the
+    legacy [B,N,C] path."""
+    outputs, batch, rois, anchors, means, stds = _toy_setup()
+    cfg = RPNLossConfig()   # full stats: exercises _argmax_class_t too
+
+    def run(logits, fast):
+        o = dict(outputs)
+        o["cls"] = logits
+        o["prob"] = jax.nn.softmax(logits, axis=-1)
+        if fast:
+            o["cls_t"] = logits.transpose(0, 2, 1)
+            o["prob_t"] = o["prob"].transpose(0, 2, 1)
+            o["lse"] = jax.nn.logsumexp(logits, axis=-1)
+        else:
+            o.pop("cls_t", None)
+        return rpn_3d_loss(o, batch, rois, anchors, means, stds, cfg)
+
+    logits = outputs["cls"]
+    l_ref, g_ref = jax.value_and_grad(lambda z: run(z, False)[0])(logits)
+    l_fast, g_fast = jax.value_and_grad(lambda z: run(z, True)[0])(logits)
+    _, stats_ref = run(logits, False)
+    _, stats_fast = run(logits, True)
+
+    np.testing.assert_allclose(float(l_fast), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+    for k in stats_ref:
+        np.testing.assert_allclose(np.asarray(stats_fast[k]),
+                                   np.asarray(stats_ref[k]), rtol=1e-4,
+                                   atol=1e-6, err_msg=k)
+
+
 def test_smooth_l1():
     x = jnp.array([0.0, 0.5, 1.0, 2.0, -3.0])
     got = np.asarray(smooth_l1(x, jnp.zeros(5)))
