@@ -17,7 +17,10 @@ from typing import Dict, List, Optional
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-_SRC_DIR = os.path.join(_ROOT, "native")
+# see eval/native.py: M3DSSD_NATIVE_DIR keeps the C++ tooling reachable
+# when the package is imported from a run-dir source snapshot
+_SRC_DIR = os.environ.get("M3DSSD_NATIVE_DIR") or os.path.join(_ROOT,
+                                                               "native")
 _BIN = os.path.join(_SRC_DIR, "build", "devkit_eval")
 
 

@@ -24,7 +24,12 @@ _TRIED = False
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-_SRC_DIR = os.path.join(_ROOT, "native")
+# M3DSSD_NATIVE_DIR overrides the package-relative location: a run-dir
+# source snapshot (utils/source_snapshot.py) carries only the Python
+# package, so scripts/test.py points this at the live repo's native/ —
+# otherwise snapshot-based eval would silently lose the C++ fast path.
+_SRC_DIR = os.environ.get("M3DSSD_NATIVE_DIR") or os.path.join(_ROOT,
+                                                               "native")
 _SO = os.path.join(_SRC_DIR, "build", "libm3deval.so")
 
 _D = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")

@@ -49,6 +49,12 @@ def main():
     if not args.no_src_snapshot and os.path.isdir(
             os.path.join(snap, "m3dssd_tpu")):
         sys.path.insert(0, snap)
+        # the snapshot carries only the Python package; keep the native C++
+        # eval kernels (repo-level native/) reachable for the fast path
+        live_native = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "native")
+        if os.path.isdir(live_native):
+            os.environ.setdefault("M3DSSD_NATIVE_DIR", live_native)
 
     import jax
     if args.cpu:

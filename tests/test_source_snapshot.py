@@ -55,3 +55,33 @@ def test_snapshot_import_wins_over_live_package(tmp_path):
                          cwd=str(tmp_path))   # away from the repo root
     assert out.returncode == 0, out.stderr
     assert "snapshot import ok" in out.stdout
+
+
+def test_snapshot_import_keeps_native_eval(tmp_path):
+    """A snapshot import must still reach the repo's native C++ eval
+    kernels: the snapshot carries only the Python package, so eval/native
+    honors M3DSSD_NATIVE_DIR (set by scripts/test.py) — without it the
+    KITTI eval would silently drop to the pure-Python matcher."""
+    import m3dssd_tpu
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(
+        m3dssd_tpu.__file__)))
+    native_dir = os.path.join(repo, "native")
+    if not os.path.isdir(native_dir):
+        import pytest
+        pytest.skip("repo-level native/ not present")
+    run = str(tmp_path / "run")
+    os.makedirs(run)
+    root = snapshot_source(run)
+    code = (
+        "import os, sys; sys.path.insert(0, %r)\n"
+        "import m3dssd_tpu\n"
+        "assert m3dssd_tpu.__file__.startswith(%r), m3dssd_tpu.__file__\n"
+        "from m3dssd_tpu.eval import native\n"
+        "assert native._SRC_DIR == %r, native._SRC_DIR\n"
+        "print('native dir ok')\n" % (root, root, native_dir))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               M3DSSD_NATIVE_DIR=native_dir)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, cwd=str(tmp_path))
+    assert out.returncode == 0, out.stderr
+    assert "native dir ok" in out.stdout
