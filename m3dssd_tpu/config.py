@@ -72,6 +72,12 @@ class Config:
     # waste). Math identical (equality-tested incl. gradients); False
     # falls back to the [B,N,C] path.
     loss_channel_major: bool = True
+    # hard-mining pool selection finds the per-pool k-th smallest score by a
+    # 32-step binary search on monotone float bits (two masked count-reduces
+    # per step) instead of one [B,N] stable lax.sort
+    # (losses/rpn_loss.py:_rank_select_pools_bisect). Exact-equality tested
+    # vs the sort form incl. ties/budget edges.
+    loss_mining_bisect: bool = False
 
     # ----------------------------------------------------------------- solver
     solver_type: str = "sgd"          # sgd | adam | adamax
@@ -182,13 +188,17 @@ class Config:
     # images carry a handful of above-threshold detections, so the 40
     # sequential rounds (~6 ms/step at bs=8, PERF.md) shrink to 1-10.
     nms_score_stop: bool = True
-    # resolve greedy NMS over the top_pre candidates by parallel bitmask
+    # resolve greedy NMS over COMPACTED candidates by parallel bitmask
     # fixpoint rounds (ops/nms.py nms_bitmask_select_t — the TPU twin of the
     # reference's CUDA bitmask kernel) instead of sequential argmax rounds.
-    # Equality-tested; measured 2026-08-19 at 512x1760 bs=8: 74.6 ms/step vs
-    # 75.2 (score early-stop) / 77.5 (plain sequential), and round count is
-    # suppression-chain depth (~3-5) regardless of how many detections clear
-    # the score threshold — no sequential tail on busy images.
+    # ONLY ENGAGES on the sparse pre-NMS path (nms_sparse_topm > 0, off by
+    # default): the [C, C] overlap matrix needs a compacted candidate set.
+    # On the default dense path the NMS engine is nms_select_t with the
+    # score early-stop above — the 2026-08-19 sweep's "bitmask" row
+    # compiled the IDENTICAL dense graph as "stop" (74.6 vs 75.2 ms/step at
+    # bs=8 is run noise, not a bitmask win; the real measured win was
+    # early-stop vs plain sequential, 75.2 vs 77.5). Equality vs sequential
+    # greedy incl. score ties is tested (tests/test_nms_eval.py).
     nms_bitmask: bool = True
 
     test_protocol: str = "kitti"

@@ -20,9 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # NMS-variant knobs (config.py; ops/nms.py). `stop` is the config default
 # since round 4 (sequential selection ends once the best remaining score
-# drops below score_thres — exact, the driver filters those rows anyway);
-# `bitmask` resolves greedy NMS by parallel Jacobi rounds instead of the
-# 40-step sequential argmax chain (equality-tested probe).
+# drops below score_thres — exact, the driver filters those rows anyway).
+# CAVEAT: `bitmask` only changes the graph when nms_sparse_topm > 0 (the
+# Jacobi fixpoint needs a compacted candidate set for its [C, C] matrix);
+# at the default nms_sparse_topm=0 it compiles IDENTICALLY to `stop` —
+# the 2026-08-19 sweep's 74.6-vs-75.2 delta was noise (PERF.md).
 VARIANTS = {
     "stop": {"nms_score_stop": True, "nms_bitmask": False},
     "nostop": {"nms_score_stop": False, "nms_bitmask": False},
