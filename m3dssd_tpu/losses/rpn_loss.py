@@ -60,6 +60,9 @@ class RPNLossConfig:
     # reduction/broadcast becomes C ops over lane-perfect [B,N] slices
     # (C=4 in the 128-lane minor dim wastes 97% of the vector lanes)
     channel_major: bool = True
+    # find the hard-mining pool thresholds by bit-bisection instead of a
+    # stable [B,N] sort (_rank_select_pools_bisect — exact-equality tested)
+    mining_bisect: bool = False
 
     @staticmethod
     def from_conf(conf) -> "RPNLossConfig":
@@ -72,7 +75,8 @@ class RPNLossConfig:
             bbox_3d_proj_lambda=conf.bbox_3d_proj_lambda,
             bbox_3d_iou_lambda=conf.bbox_3d_iou_lambda,
             light_stats=bool(getattr(conf, "loss_light_stats", False)),
-            channel_major=bool(getattr(conf, "loss_channel_major", True)))
+            channel_major=bool(getattr(conf, "loss_channel_major", True)),
+            mining_bisect=bool(getattr(conf, "loss_mining_bisect", False)))
 
 
 def _rank_select(score, pool_mask, budget, key):
@@ -127,6 +131,92 @@ def _rank_select_pools(score, pools, budgets):
         n_below = jnp.sum(below, axis=1, keepdims=True)
         tie_rank = jnp.cumsum(ties.astype(jnp.int32), axis=1)
         keep = below | (ties & (tie_rank <= b_eff[:, None] - n_below))
+        keeps.append(keep & (b_eff > 0)[:, None])
+    return keeps
+
+
+def _sortable_key_u32(score):
+    """Monotone f32 -> uint32 bijection: unsigned compare == float compare
+    (sign-flip trick; exact for all finite floats, NaN maps above +inf)."""
+    bits = jax.lax.bitcast_convert_type(score.astype(jnp.float32), jnp.uint32)
+    neg = (bits >> 31) != 0
+    return jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
+
+
+def _rank_select_pools_bisect(score, pools, budgets):
+    """`_rank_select_pools` without the sort: find each pool's threshold
+    score (the b_eff-th smallest among pool members, b_eff = min(budget,
+    pool size)) by a 32-step binary search over monotone float BITS, then
+    rebuild the keep mask with the same below/ties logic.
+
+    Rationale: the sorted arrays are only ever used to locate that one
+    per-row scalar — the keep mask itself is already reconstructed in
+    original order. A stable [B,N] 2-operand `lax.sort` moves ~8 bytes/elem
+    through O(log^2 N) merge passes; the bisection reads the key tensor 32
+    times with perfect streaming locality and no permutation traffic, and
+    its count-reduces for BOTH pools fuse into one loop-body pass.
+    Exact-equality with `_rank_select_pools` (incl. score ties and
+    zero/overfull budgets) is pinned by tests/test_loss_train.py.
+
+    score [B,N]; pools: list of [B,N] bool; budgets: list of [B] int.
+    """
+    key = _sortable_key_u32(score)
+    b_effs = [jnp.minimum(budget, jnp.sum(pool, axis=1))
+              for pool, budget in zip(pools, budgets)]
+
+    def body(_, carry):
+        new = []
+        for (lo, hi), pool, b_eff in zip(carry, pools, b_effs):
+            mid = lo + (hi - lo) // 2
+            # pool members with key <= mid (rows where the k-th smallest
+            # is <= mid keep searching the lower half)
+            cnt = jnp.sum((pool & (key <= mid[:, None])).astype(jnp.int32),
+                          axis=1)
+            ok = cnt >= b_eff
+            new.append((jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)))
+        return tuple(new)
+
+    B, N = score.shape
+    init = tuple((jnp.zeros((B,), jnp.uint32),
+                  jnp.full((B,), 0xFFFFFFFF, jnp.uint32)) for _ in pools)
+    final = jax.lax.fori_loop(0, 32, body, init)
+
+    # Tie resolution, also by bisection: the kept ties are the FIRST
+    # k2 = b_eff - #strictly-below in original index order (what the stable
+    # sort selects), i.e. ties up to the smallest index t with
+    # count(ties & idx <= t) >= k2. A [B,N] cumsum would lower to ~log2(N)
+    # full read+write passes (CLAUDE.md: 2.45 ms at [8,507k]); this count
+    # bisection reads only the bool tie masks.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    belows, tiess, k2s = [], [], []
+    for (lo, _), pool, b_eff in zip(final, pools, b_effs):
+        kth = lo[:, None]               # lo == hi == b_eff-th smallest key
+        below = pool & (key < kth)
+        ties = pool & (key == kth)
+        k2 = b_eff - jnp.sum(below, axis=1)
+        belows.append(below)
+        tiess.append(ties)
+        k2s.append(k2)
+
+    def body2(_, carry):
+        new = []
+        for (lo2, hi2), ties, k2 in zip(carry, tiess, k2s):
+            mid = (lo2 + hi2) // 2
+            cnt = jnp.sum((ties & (iota <= mid[:, None])).astype(jnp.int32),
+                          axis=1)
+            ok = cnt >= k2
+            new.append((jnp.where(ok, lo2, mid + 1), jnp.where(ok, mid, hi2)))
+        return tuple(new)
+
+    steps = max(1, int(np.ceil(np.log2(N)))) if N > 1 else 1
+    init2 = tuple((jnp.zeros((B,), jnp.int32),
+                   jnp.full((B,), N - 1, jnp.int32)) for _ in pools)
+    final2 = jax.lax.fori_loop(0, steps, body2, init2)
+
+    keeps = []
+    for (t, _), below, ties, k2, b_eff in zip(final2, belows, tiess, k2s,
+                                              b_effs):
+        keep = below | (ties & (iota <= t[:, None]) & (k2 > 0)[:, None])
         keeps.append(keep & (b_eff > 0)[:, None])
     return keeps
 
@@ -230,8 +320,9 @@ def rpn_3d_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
         assert rng is not None, "random sampling requires an rng"
         sel_score = jax.random.uniform(rng, score.shape)
 
-    sel_fg, sel_bg = _rank_select_pools(sel_score, [is_fg, is_bg],
-                                        [fg_num, bg_num])
+    select = (_rank_select_pools_bisect if cfg.mining_bisect
+              else _rank_select_pools)
+    sel_fg, sel_bg = select(sel_score, [is_fg, is_bg], [fg_num, bg_num])
     sel_fg = sel_fg & participates[:, None]
     sel_bg = sel_bg & participates[:, None]
 

@@ -29,6 +29,9 @@ def main():
     p.add_argument("--num_val", type=int, default=40)
     p.add_argument("--eval_epoch", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--config", default="kitti_3d_base",
+                   help="config name (kitti_3d_base | kitti_3d_anab | "
+                        "kitti_3d_anab_fullalign)")
     p.add_argument("--backbone", default="dla34")
     p.add_argument("--crop", type=int, nargs=2, default=[384, 1280])
     p.add_argument("--host_targets", action="store_true",
@@ -67,7 +70,7 @@ def main():
         print(f"generated synthetic KITTI: {args.num_train} train / "
               f"{args.num_val} val", flush=True)
 
-    conf = load_config("kitti_3d_base").replace(
+    conf = load_config(args.config).replace(
         back_bone=args.backbone, batch_size=args.batch_size,
         crop_size=list(args.crop), test_scale=list(args.crop),
         pre_train=False, max_epoch=args.epochs, eval_epoch=args.eval_epoch,

@@ -39,6 +39,9 @@ def main():
     p.add_argument("--donate", action="store_true",
                    help="donate the train state (threads state through the "
                         "timing loop like the trainer does)")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="generic conf override (python literal values), "
+                        "e.g. --set loss_light_stats=True")
     args = p.parse_args()
 
     import jax
@@ -65,6 +68,15 @@ def main():
         conf = conf.replace(remat_towers=True)
     if args.sparse_nms is not None:
         conf = conf.replace(nms_sparse_topm=args.sparse_nms)
+    if args.set:
+        import ast
+        for kv in args.set:
+            k, _, v = kv.partition("=")
+            try:
+                val = ast.literal_eval(v)
+            except (SyntaxError, ValueError):
+                val = v
+            conf = conf.replace(**{k: val})
     model = build(conf)
     rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
     rng = jax.random.PRNGKey(0)

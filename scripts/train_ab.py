@@ -45,6 +45,10 @@ VARIANTS = {
     # lane-sliced cls_t/prob_t/lse vs the legacy [B,N,C] softmax/CE layout
     "cm_light": {"loss_channel_major": True, "loss_light_stats": True},
     "nocm_light": {"loss_channel_major": False, "loss_light_stats": True},
+    # A/B pair for the hard-mining pool selection (losses/rpn_loss.py):
+    # 32-step bit-bisection threshold search vs the stable [B,N] lax.sort
+    "bisect_light": {"loss_mining_bisect": True, "loss_light_stats": True},
+    "sort_light": {"loss_mining_bisect": False, "loss_light_stats": True},
 }
 
 

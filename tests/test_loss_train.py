@@ -1,5 +1,7 @@
 """Loss semantics and train-step tests (incl. multi-device mesh)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -340,6 +342,47 @@ def test_rank_select_pools_matches_per_pool():
     got_fg, got_bg = _rank_select_pools(score, [fg, bg], [fgb, bgb])
     np.testing.assert_array_equal(np.asarray(got_fg), np.asarray(want_fg))
     np.testing.assert_array_equal(np.asarray(got_bg), np.asarray(want_bg))
+
+
+def test_rank_select_pools_bisect_matches_sort():
+    """The sort-free bit-bisection pool selection equals the shared-sort
+    form EXACTLY — quantized scores (heavy ties), zero/overfull budgets,
+    empty pools, and negative scores (sign-flip key branch)."""
+    from m3dssd_tpu.losses.rpn_loss import (_rank_select_pools,
+                                            _rank_select_pools_bisect)
+    rng = np.random.default_rng(11)
+    B, N = 4, 300
+    score = jnp.array((rng.integers(-10, 10, size=(B, N)) / 8.0)
+                      .astype(np.float32))
+    fg = np.asarray(rng.random((B, N)) < 0.1)
+    bg = (rng.random((B, N)) < 0.6) & ~fg
+    fg[3] = False                                   # empty pool row
+    fg, bg = jnp.array(fg), jnp.array(bg)
+    fgb = jnp.array([3, 0, 50, 7], jnp.int32)       # 50 > pool size, 0, empty
+    bgb = jnp.array([40, 17, 0, 1000], jnp.int32)
+    want = _rank_select_pools(score, [fg, bg], [fgb, bgb])
+    got = _rank_select_pools_bisect(score, [fg, bg], [fgb, bgb])
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_loss_mining_bisect_matches_sort_loss():
+    """rpn_3d_loss with mining_bisect=True is bit-identical to the sort
+    path (same selection -> same loss and stats). Tight budgets so the
+    selection actually discriminates."""
+    outputs, batch, rois, anchors, means, stds = _toy_setup(B=2, A=2, H=6,
+                                                            W=8, seed=3)
+    N = outputs["cls"].shape[1]
+    base = RPNLossConfig(box_samples=8.0 / N, fg_fraction=0.25)
+    loss_a, stats_a = rpn_3d_loss(outputs, batch, rois, anchors, means,
+                                  stds, base)
+    loss_b, stats_b = rpn_3d_loss(
+        outputs, batch, rois, anchors, means, stds,
+        dataclasses.replace(base, mining_bisect=True))
+    np.testing.assert_array_equal(np.asarray(loss_a), np.asarray(loss_b))
+    for k in stats_a:
+        np.testing.assert_array_equal(np.asarray(stats_a[k]),
+                                      np.asarray(stats_b[k]), err_msg=k)
 
 
 def test_take_class_matches_gather():
