@@ -76,8 +76,10 @@ class Config:
     # 32-step binary search on monotone float bits (two masked count-reduces
     # per step) instead of one [B,N] stable lax.sort
     # (losses/rpn_loss.py:_rank_select_pools_bisect). Exact-equality tested
-    # vs the sort form incl. ties/budget edges.
-    loss_mining_bisect: bool = False
+    # vs the sort form incl. ties/budget edges. Default on by measurement:
+    # flagship bs=8 173.2/173.5 vs 179.9/179.9 ms/step alternated same-
+    # process (2026-08-20, PERF.md).
+    loss_mining_bisect: bool = True
 
     # ----------------------------------------------------------------- solver
     solver_type: str = "sgd"          # sgd | adam | adamax
