@@ -38,10 +38,12 @@ class Config:
     # `mask*conv(x)+b` at positions whose max anchor confidence exceeds the
     # align threshold; with a per-image budget M the deformable gather runs
     # only there (exact — lax.cond falls back to the dense DCN if more than
-    # M positions are confident). 0 disables. Eval-only unless
-    # sparse_align_train is set (models/align.py:SparseSel).
+    # M positions are confident). 0 disables. sparse_align_train applies the
+    # same path in training (models/align.py:SparseSel); exact in both
+    # regimes (equality + grad-equality tested) and the measured win, so it
+    # defaults ON — the TRAINBENCH.json headline is this configuration.
     sparse_align_topm: int = 1024
-    sparse_align_train: bool = False
+    sparse_align_train: bool = True
 
     # rematerialization knobs (train-step HBM-traffic probes; exact math —
     # they only change what XLA saves for the backward pass):
@@ -63,9 +65,13 @@ class Config:
     dcn_custom_vjp: bool = False
     # skip the logging-only per-step loss stats (class-accuracy argmax +
     # the two full 3D decodes behind err_z/err_ry). Training math is
-    # identical; default False = reference stats protocol
-    # (ref:lib/loss/rpn_3d.py:1099-1105 computes them every iteration).
-    loss_light_stats: bool = False
+    # identical and every loss component + the fg IoU stat is still
+    # emitted; only the four diagnostic scalars acc_fg/acc_bg/err_z/err_ry
+    # disappear from the logs. Default True by measurement (the pinned
+    # TRAINBENCH.json headline is this configuration); set False for the
+    # reference's full stats protocol, which computes them every iteration
+    # (ref:lib/loss/rpn_3d.py:1099-1105).
+    loss_light_stats: bool = True
     # loss consumes the model's channel-major class maps (cls_t/prob_t/lse
     # [B,C,N]): class-dim softmax/CE/argmax run as C lane-perfect [B,N]
     # slice ops instead of reductions over a C=4 minor dim (97% lane

@@ -137,8 +137,14 @@ def _rank_select_pools(score, pools, budgets):
 
 def _sortable_key_u32(score):
     """Monotone f32 -> uint32 bijection: unsigned compare == float compare
-    (sign-flip trick; exact for all finite floats, NaN maps above +inf)."""
-    bits = jax.lax.bitcast_convert_type(score.astype(jnp.float32), jnp.uint32)
+    (sign-flip trick; exact for all finite floats, NaN maps above +inf).
+
+    -0.0 is normalized to +0.0 first (IEEE: -0.0 + 0.0 == +0.0) so the key
+    order matches float ``==``/``<`` exactly — otherwise -0.0 < +0.0 under
+    the bit order while the sort path's tie logic treats them equal, and a
+    mixed ±0.0 tie at the threshold could select different members."""
+    bits = jax.lax.bitcast_convert_type(
+        score.astype(jnp.float32) + jnp.float32(0.0), jnp.uint32)
     neg = (bits >> 31) != 0
     return jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
 

@@ -90,14 +90,23 @@ class Trainer:
         if use_mesh and len(jax.devices()) > 1:
             sp = max(getattr(conf, "mesh_spatial", 1), 1)
             mp = max(getattr(conf, "mesh_model", 1), 1)
-            n = conf.dp_devices * sp * mp if conf.dp_devices > 0 \
-                else len(jax.devices())
-            self.mesh = make_mesh(n, spatial=sp, model=mp)
-            from ..parallel import per_host_data_slicing_ok
-            self._per_host = per_host_data_slicing_ok(self.mesh)
-            logging.info("mesh over %d devices: %s (per-host input "
-                         "slicing: %s)", n, dict(self.mesh.shape),
-                         self._per_host)
+            if conf.dp_devices > 0:
+                n = conf.dp_devices * sp * mp
+            else:
+                # auto: the data axis must divide the global batch (GSPMD
+                # shards batch dim 0 over it) — use the largest divisor of
+                # batch_size that fits the available devices
+                dp_max = max(len(jax.devices()) // (sp * mp), 1)
+                dp = max(d for d in range(1, dp_max + 1)
+                         if conf.batch_size % d == 0)
+                n = dp * sp * mp
+            if n > 1:
+                self.mesh = make_mesh(n, spatial=sp, model=mp)
+                from ..parallel import per_host_data_slicing_ok
+                self._per_host = per_host_data_slicing_ok(self.mesh)
+                logging.info("mesh over %d devices: %s (per-host input "
+                             "slicing: %s)", n, dict(self.mesh.shape),
+                             self._per_host)
 
         self.loader = TrainLoader(
             self.dataset, conf.batch_size, num_workers=conf.num_workers,
