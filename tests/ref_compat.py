@@ -89,6 +89,11 @@ def install():
     # --- uninstalled third-party deps -----------------------------------
     if "easydict" not in sys.modules:
         _stub_module("easydict", EasyDict=_EasyDict)
+    if "torchvision" not in sys.modules:
+        # `from torchvision import models` at M3d_inference_align.py:2 is a
+        # dead import (nothing references `models`)
+        tv = _stub_module("torchvision")
+        tv.models = _stub_module("torchvision.models")
     if "shapely" not in sys.modules:
         shp = _stub_module("shapely")
         geom = _stub_module("shapely.geometry", Polygon=_raising("shapely.Polygon"))

@@ -665,3 +665,92 @@ def test_loss_parity(ref):
         ref_g[:, perm] = gt_t.numpy()
         np.testing.assert_allclose(np.asarray(ours_g), ref_g, rtol=tol,
                                    atol=1e-7, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# (f) full plain-conv model forward through torch_import
+# ---------------------------------------------------------------------------
+
+def test_model_forward_parity(ref):
+    """Build the reference model (dla34, ida_dcnv2=False -> no CUDA DCN
+    anywhere) with random torch weights, import its state_dict through
+    utils/torch_import, and compare the full eval forward — DLA trunk,
+    DLAUp/IDAUp neck, all 13 head towers, softmax — on the same image."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.utils.synthetic_conf import finalize_conf_synthetic
+    from m3dssd_tpu.utils.torch_import import load_reference_checkpoint
+
+    conf = finalize_conf_synthetic(kitti_3d_base().replace(
+        crop_size=[64, 128], test_scale=[64, 128], num_anchor_scales=2,
+        back_bone="dla34", pre_train=False, compute_dtype="float32",
+        ida_dcnv2=False, batch_size=1))
+    A, C = conf.anchors.shape[0], conf.num_classes
+    H, W = conf.feat_size
+
+    m3d = importlib.import_module("model.M3d_inference_align")
+    rconf = ref.edict(
+        device=torch.device("cpu"), lbls=list(conf.lbls),
+        anchors=np.asarray(conf.anchors, np.float64),
+        bbox_means=np.asarray(conf.bbox_means),
+        bbox_stds=np.asarray(conf.bbox_stds), back_bone="dla34",
+        batch_size=1, feat_stride=conf.feat_stride,
+        crop_size=list(conf.crop_size), center_align=False,
+        shape_align=False, ida_dcnv2=False, pre_train=False)
+    torch.manual_seed(3)
+    net = m3d.build(rconf, "test")          # eval mode: running BN stats
+    # torch 2.x conv outputs can arrive channels-last/non-contiguous, which
+    # breaks the 0.4-era `.view` at ref:model/M3d_inference_align.py:229 —
+    # restore the old layout contract without touching the math
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.Sequential):
+            mod.register_forward_hook(lambda m, i, out: out.contiguous())
+    # non-degenerate BN stats (fresh init is mean 0 / var 1 everywhere)
+    gen = torch.Generator().manual_seed(7)
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.copy_(
+                torch.randn(mod.running_mean.shape, generator=gen) * 0.1)
+            mod.running_var.copy_(
+                1.0 + torch.rand(mod.running_var.shape, generator=gen))
+
+    sd = net.state_dict()
+    model = build(conf)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, conf.crop_size[0], conf.crop_size[1], 3)),
+                   train=False)
+    params, batch_stats, stats = load_reference_checkpoint(
+        v, sd, num_anchors=A, num_classes=C, block="basic")
+    unmapped = [k for k in stats["unmapped"]
+                if "num_batches_tracked" not in k]
+    assert stats["loaded"] > 100
+    assert not stats["shape_mismatch"], stats["shape_mismatch"][:5]
+    assert not unmapped, unmapped[:10]
+    assert not stats["missing"], stats["missing"][:10]
+
+    rng = np.random.default_rng(17)
+    img = rng.normal(0, 1, (1, conf.crop_size[0], conf.crop_size[1], 3)) \
+        .astype(np.float32)
+
+    with torch.no_grad():
+        rcls, rprob, rb2d, rb3d, _, _ = net(
+            torch.from_numpy(np.transpose(img, (0, 3, 1, 2))))
+
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      jnp.asarray(img), train=False)
+    perm = _perm_ref_from_ours(H, W, A)
+
+    ours_cls = np.asarray(out["cls"])[:, perm]
+    ours_prob = np.asarray(out["prob"])[:, perm]
+    ours_b2d = np.transpose(np.asarray(out["bbox_2d"]), (0, 2, 1))[:, perm]
+    ours_b3d = np.transpose(np.asarray(out["bbox_3d"]), (0, 2, 1))[:, perm]
+
+    # f32 conv stacks, different conv engines (XLA vs torch CPU): ~1e-4
+    np.testing.assert_allclose(ours_cls, rcls.numpy(), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(ours_prob, rprob.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(ours_b2d, rb2d.numpy(), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(ours_b3d, rb3d.numpy(), rtol=1e-3, atol=2e-3)
