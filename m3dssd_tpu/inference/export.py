@@ -46,15 +46,20 @@ def _input_specs(conf, batch_size: int, packed_input: bool, image_dtype):
 
 def export_detector(conf, rois: np.ndarray, model, params, batch_stats, *,
                     batch_size: int = 0, packed_input: bool = False,
-                    platforms=("tpu", "cpu"),
+                    platforms=("tpu", "cpu"), fold_bn: bool = False,
                     image_dtype=jnp.float32) -> jexport.Exported:
     """Export `(image, scale_factor) -> dets` with weights as constants.
 
     `batch_size=0` exports the single-image detector ([1, H, W, C] input,
     scalar scale factor); `batch_size=B` exports the batched one. With
     `packed_input` the image arrives space-to-depth packed
-    ([B, H/2, W/2, 12], models/dla.py:space_to_depth_np).
+    ([B, H/2, W/2, 12], models/dla.py:space_to_depth_np). `fold_bn`
+    constant-folds BatchNorm into the preceding convs before lowering
+    (utils/fold_bn.py — exact for the frozen eval graph).
     """
+    if fold_bn:
+        from ..utils.fold_bn import fold_bn_eval
+        params, batch_stats, _ = fold_bn_eval(params, batch_stats)
     if batch_size:
         det = make_batch_detector(conf, rois, model,
                                   packed_input=packed_input)
