@@ -29,6 +29,9 @@ def main():
     p.add_argument("--num_val", type=int, default=40)
     p.add_argument("--eval_epoch", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override conf.lr (lr_target scales with it) — the "
+                        "bs=8 linear-LR-scaling convergence A/B arm")
     p.add_argument("--config", default="kitti_3d_base",
                    help="config name (kitti_3d_base | kitti_3d_anab | "
                         "kitti_3d_anab_fullalign)")
@@ -80,6 +83,8 @@ def main():
         sparse_align_train=True,   # exact in both regimes (PERF.md); the
                                    # dense branch rides lax.cond early on
         grad_clip_norm=args.grad_clip or None)
+    if args.lr is not None:
+        conf = conf.replace(lr=args.lr, lr_target=args.lr * 1e-5)
     assert conf.compute_dtype == "bfloat16" and conf.stem_s2d \
         and conf.dcn_shift_clamp is not None, "fast paths must be ON"
 

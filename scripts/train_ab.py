@@ -27,6 +27,11 @@ def _key_batch(key: str, default: int) -> int:
 
 
 VARIANTS = {
+    # zero-override row: measures the SHIPPED Config defaults (since round 5
+    # these are the measured-best knobs — sparse_align_train, light_stats,
+    # channel-major loss, bisect mining — so this row must reproduce the
+    # pinned TRAINBENCH headline; VERDICT r4 #4)
+    "default": {},
     "base": {},
     "dense": {"sparse_align_topm": 0, "sparse_align_train": False},
     "remat_dcn": {"remat_dcn": True},
