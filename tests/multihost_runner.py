@@ -93,6 +93,51 @@ def run_trainer_sharded(data_root, out_dir, barrier=None):
     return tr
 
 
+def eval_conf(conf):
+    """Eval knobs for the multi-process test_kitti_3d pass: a random-init
+    net scores everything ~0.3, so drop the threshold to actually write
+    rows; bs=1 single-device detector (the multiproc semantics under test —
+    primary-only writes, global sync, metric broadcast — are independent of
+    detector sharding, and a second big mesh graph would blow the compile
+    budget on this 1-core host)."""
+    return conf.replace(score_thres=0.05, eval_batch_size=1)
+
+
+def run_eval_sharded(tr, barrier):
+    """The REAL Trainer._eval across both processes (VERDICT r4 #5):
+    process 0 writes the result txts and computes AP; the selection metric
+    is broadcast so both processes return the same value. Returns
+    (sel, results_dir)."""
+    import jax
+    import numpy as np
+    from m3dssd_tpu.inference.detect import (make_detector,
+                                             packed_input_eligible)
+    from m3dssd_tpu.models.dla import space_to_depth_np
+
+    tr.conf = eval_conf(tr.conf)
+    conf = tr.conf
+    # the bs=1 detector runs single-device: hand it process-local numpy
+    # params instead of the mesh-replicated global arrays
+    tr.state = tr.state.replace(
+        params=jax.tree_util.tree_map(np.asarray, tr.state.params),
+        batch_stats=jax.tree_util.tree_map(np.asarray, tr.state.batch_stats))
+    packed = packed_input_eligible(conf)
+    det = make_detector(conf, tr.dataset.rois, tr.model, packed_input=packed)
+    tr._eval_detect = det
+    # compile + run once (no collectives), THEN barrier: the first
+    # post-eval collective (sync_global_devices) must start within the Gloo
+    # window on both ranks, so compile skew has to be absorbed here
+    h, w = conf.test_scale
+    dummy = np.zeros((1, h, w, 3), np.float32)
+    np.asarray(det(tr.state.params, tr.state.batch_stats,
+                   space_to_depth_np(dummy) if packed else dummy,
+                   np.float32(1.0)))
+    barrier("eval_detector_compiled")
+    sel = tr._eval(1)
+    results_dir = os.path.join(tr.output_dir, "results", "results_1", "data")
+    return float(sel), results_dir
+
+
 def main():
     pid = int(sys.argv[1])
     nproc = int(sys.argv[2])
@@ -160,6 +205,10 @@ def main():
     from jax.experimental import multihost_utils
     sel = float(multihost_utils.broadcast_one_to_all(
         np.float32(1.5 if pid == 0 else -1.0)))
+    barrier("trainer_done")
+    # the REAL eval driver across both processes (primary-only writes +
+    # sync + broadcast inside test_kitti_3d)
+    eval_sel, eval_results_dir = run_eval_sharded(tr, barrier)
     result = {
         "process": pid,
         "loss": float(tr.last_stats["loss"]),
@@ -167,8 +216,10 @@ def main():
         "trainer_per_host": bool(tr._per_host),
         "loader_local_batch": tr.loader.local_batch,
         "broadcast_sel": sel,
+        "eval_sel": eval_sel,
+        "eval_results_dir": eval_results_dir,
     }
-    barrier("trainer_done")
+    barrier("eval_done")
     with open(out_path, "w") as f:
         json.dump(result, f)
     # align exits: a straggler would otherwise miss the 5-min implicit

@@ -49,7 +49,9 @@ def test_two_process_trainer_matches_single_process(synthetic_kitti,
          outs[i], trainer_out],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
-    logs = [p.communicate(timeout=1800)[0].decode() for p in procs]
+    # budget: one train-step compile + one (fwd-only) detect compile per
+    # subprocess; warm /tmp/jax_cache_cpu_mh runs in ~10 min, cold much more
+    logs = [p.communicate(timeout=2700)[0].decode() for p in procs]
     if any(p.returncode != 0 for p in procs):
         # show BOTH logs: with jax.distributed, the process that reports
         # the error is usually reacting to the OTHER process dying
@@ -74,6 +76,20 @@ def test_two_process_trainer_matches_single_process(synthetic_kitti,
     assert os.path.isdir(os.path.join(trainer_out, "weights", "step_1"))
     assert os.path.exists(os.path.join(trainer_out, "conf.pkl"))
     assert os.path.isdir(os.path.join(trainer_out, "model_src"))
+
+    # --- the REAL multi-process eval (Trainer._eval -> test_kitti_3d) ----
+    # both processes return the same broadcast selection metric, and the
+    # result txts exist exactly once (primary-written, one per val image)
+    assert results[0]["eval_sel"] == results[1]["eval_sel"]
+    mh_results_dir = results[0]["eval_results_dir"]
+    assert results[1]["eval_results_dir"] == mh_results_dir
+    mh_txts = sorted(os.listdir(mh_results_dir))
+    assert mh_txts == sorted(
+        os.path.splitext(f)[0] + ".txt" for f in os.listdir(
+            os.path.join(synthetic_kitti, "kitti_split1", "validation",
+                         "image_2")))
+    assert any(os.path.getsize(os.path.join(mh_results_dir, t)) > 0
+               for t in mh_txts), "eval wrote only empty result files"
 
     # single-process Trainer reference (in this 8-device test process),
     # same conf/data/seed -> same loss, same post-step params
@@ -115,3 +131,38 @@ def test_two_process_trainer_matches_single_process(synthetic_kitti,
     for a, b in zip(leaves_mh, leaves_sp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-2, atol=2e-3)
+
+    # single-process eval with the SAME restored multi-host weights must
+    # reproduce the detections the 2-process run wrote (fp-noise tolerance:
+    # identical params, different conv schedules)
+    from multihost_runner import eval_conf
+    from m3dssd_tpu.data import Kitti3DDataset
+    from m3dssd_tpu.inference.detect import (make_detector,
+                                             packed_input_eligible)
+    from m3dssd_tpu.inference.test_driver import test_kitti_3d
+
+    conf_e = eval_conf(tr.conf)
+    val_ds = Kitti3DDataset(conf_e, synthetic_kitti, phase="validation")
+    packed = packed_input_eligible(conf_e)
+    det = make_detector(conf_e, tr.dataset.rois, tr.model,
+                        packed_input=packed)
+    sp_results = str(tmp_path / "sp_eval")
+    os.makedirs(sp_results, exist_ok=True)
+    test_kitti_3d(val_ds, det, mh["params"], mh["batch_stats"], conf_e,
+                  sp_results, evaluate=False, batch_size=1,
+                  packed_input=packed)
+    mh_results_dir = results[0]["eval_results_dir"]
+    compared_rows = 0
+    for t in sorted(os.listdir(mh_results_dir)):
+        with open(os.path.join(mh_results_dir, t)) as f:
+            rows_mh = [l.split() for l in f.read().splitlines() if l]
+        with open(os.path.join(sp_results, t)) as f:
+            rows_sp = [l.split() for l in f.read().splitlines() if l]
+        assert len(rows_mh) == len(rows_sp), t
+        for rm, rs in zip(rows_mh, rows_sp):
+            assert rm[0] == rs[0]
+            np.testing.assert_allclose(
+                [float(v) for v in rm[1:]], [float(v) for v in rs[1:]],
+                rtol=1e-3, atol=2e-3, err_msg=t)
+            compared_rows += 1
+    assert compared_rows > 0
