@@ -121,7 +121,11 @@ def test_trainer_eval_rides_training_mesh(synthetic_kitti, tiny_conf,
     from m3dssd_tpu.train.trainer import Trainer
     conf = tiny_conf.replace(
         anchors=None, snapshot_epoch=1, eval_epoch=1, do_test=True,
-        display_iter=2, max_epoch=1, eval_batch_size=4, score_thres=0.05)
+        display_iter=2, max_epoch=1, eval_batch_size=4, score_thres=0.05,
+        # batch_size must be divisible by the full device count for the
+        # auto mesh to span all 8 devices (the data axis is clamped to
+        # divide the global batch)
+        batch_size=8)
     tr = Trainer(conf, synthetic_kitti, str(tmp_path / "out"), use_mesh=True)
     assert tr.mesh is not None and tr.mesh.shape["data"] == len(jax.devices())
     sel = tr._eval(epoch=1)
