@@ -54,6 +54,28 @@ def read_kitti_cal(calfile: str) -> np.ndarray:
     return p2
 
 
+def read_kitti_poses(posefile: str) -> List[np.ndarray]:
+    """Parse a KITTI odometry pose file into padded 4x4 matrices
+    (ref:lib/imdb_util.py:358-417 — unused by the reference's train/test
+    path, kept for API completeness). Each line carries a row-major 3x4
+    pose; the 4th row is [0, 0, 0, 1]."""
+    poses = []
+    with open(posefile, "r") as f:
+        for line in f:
+            vals = line.split()
+            if len(vals) != 12:
+                continue
+            try:
+                row = [float(v) for v in vals]
+            except ValueError:
+                continue
+            p = np.zeros([4, 4], dtype=float)
+            p[:3, :] = np.array(row).reshape(3, 4)
+            p[3, 3] = 1.0
+            poses.append(p)
+    return poses
+
+
 _LABEL_RE = re.compile(
     r"([a-zA-Z\-\?\_]+)" + r"\s+(%s)" % _FLOAT * 14 + r"\s*((%s)?)\s*$" % _FLOAT)
 

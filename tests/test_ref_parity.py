@@ -14,9 +14,10 @@ and assert equality with this framework's re-derivations on shared inputs:
   (e) RPN_3D_loss_smp on CPU tensors           (ref:lib/loss/rpn_3d.py:659-1360)
   (f) the full plain-conv model forward through torch_import
                                                (ref:model/pose_dla_dcn.py, ida_dcnv2=False)
+  (g) hill-climbing refinement                 (ref:lib/rpn_util.py:652-708,2015-2050)
 
-The reference's label parsers are exercised against real files via the
-synthetic-KITTI generator (ref:lib/imdb_util.py:317-560).
+The reference's label/calib/pose parsers are exercised against real files
+via the synthetic-KITTI generator (ref:lib/imdb_util.py:317-560).
 """
 
 import math
@@ -754,3 +755,84 @@ def test_model_forward_parity(ref):
     np.testing.assert_allclose(ours_prob, rprob.numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(ours_b2d, rb2d.numpy(), rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(ours_b3d, rb3d.numpy(), rtol=1e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# (g) hill-climbing refinement
+# ---------------------------------------------------------------------------
+
+def test_hill_climb_parity(ref):
+    """The vectorized hill_climb (inference/hill_climb.py) matches the
+    reference's per-detection Python loop (ref:lib/rpn_util.py:652-708 +
+    test_projection :2015-2050) detection-by-detection — same accepted
+    steps, same final (z, ry), including invalid-projection freezing."""
+    from m3dssd_tpu.inference.hill_climb import hill_climb
+
+    rng = np.random.default_rng(23)
+    p2 = np.eye(4)
+    p2[0, 0] = p2[1, 1] = 721.5
+    p2[0, 2], p2[1, 2] = 621, 187
+    p2_inv = np.linalg.inv(p2)
+
+    N = 40
+    z = rng.uniform(5, 55, N)
+    x3d = rng.uniform(-18, 18, N)
+    y3d = rng.uniform(-1.0, 2.5, N)
+    w3d, h3d, l3d = (rng.uniform(1.4, 2.0, N), rng.uniform(1.3, 1.8, N),
+                     rng.uniform(3.2, 4.6, N))
+    ry = rng.uniform(-np.pi, np.pi, N)
+    # projected center
+    proj = (p2 @ np.stack([x3d * z / z, y3d, z, np.ones(N)])).T
+    cx = (p2 @ np.stack([x3d, y3d, z, np.ones(N)]))[0] / z
+    cy = (p2 @ np.stack([x3d, y3d, z, np.ones(N)]))[1] / z
+    # a noisy observed 2D box: project the true 3D box then jitter; also
+    # perturb the starting ry so the climb has something to do
+    boxes = []
+    for i in range(N):
+        verts = ref.rpn_util.project_3d(p2, x3d[i], y3d[i], z[i], w3d[i],
+                                        h3d[i], l3d[i], ry[i])
+        x1, y1 = verts[:, 0].min(), verts[:, 1].min()
+        x2, y2 = verts[:, 0].max(), verts[:, 1].max()
+        boxes.append([x1, y1, x2, y2])
+    boxes = np.asarray(boxes) + rng.normal(0, 2.0, (N, 4))
+    ry_start = ry + rng.normal(0, 0.6, N)
+    z_start = z + rng.normal(0, 1.0, N)
+
+    kw = dict(step_z_init=0.5, step_r_init=0.3 * np.pi, z_lim=0.1,
+              r_lim=0.01, min_ol_dif=0.0)
+    ref_z, ref_ry = np.zeros(N), np.zeros(N)
+    for i in range(N):
+        bx = boxes[i]
+        box_xywh = np.array([bx[0], bx[1], bx[2] - bx[0] + 1,
+                             bx[3] - bx[1] + 1])
+        zz, rr, _ = ref.rpn_util.hill_climb(
+            p2, p2_inv, box_xywh, cx[i], cy[i], z_start[i], w3d[i], h3d[i],
+            l3d[i], ry_start[i], **kw)
+        ref_z[i], ref_ry[i] = zz, rr
+
+    our_z, our_ry = hill_climb(p2, p2_inv, boxes, cx, cy, z_start,
+                               w3d, h3d, l3d, ry_start, **kw)
+    np.testing.assert_allclose(our_z, ref_z, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(our_ry, ref_ry, rtol=1e-9, atol=1e-9)
+    # the refinement must actually move things (non-vacuous test)
+    assert np.mean(np.abs(our_ry - ry_start) > 1e-6) > 0.5
+
+
+def test_read_kitti_poses_parity(ref, tmp_path):
+    """Pose-file parser vs the reference's on scientific + plain notation
+    (ref:lib/imdb_util.py:358-417)."""
+    from m3dssd_tpu.data.kitti import read_kitti_poses
+
+    rng = np.random.default_rng(5)
+    path = tmp_path / "poses.txt"
+    lines = []
+    for fmt in ("{:.6e}", "{:.6f}"):
+        for _ in range(3):
+            lines.append(" ".join(fmt.format(v)
+                                  for v in rng.normal(0, 10, 12)))
+    path.write_text("\n".join(lines) + "\n")
+    ref_ps = ref.imdb_util.read_kitti_poses(str(path))
+    our_ps = read_kitti_poses(str(path))
+    assert len(our_ps) == len(ref_ps) == 6
+    for a, b in zip(our_ps, ref_ps):
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
