@@ -836,3 +836,80 @@ def test_read_kitti_poses_parity(ref, tmp_path):
     assert len(our_ps) == len(ref_ps) == 6
     for a, b in zip(our_ps, ref_ps):
         np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+def test_model_forward_parity_anab(ref):
+    """(f) extended to the ANAB family: reference model with
+    attention='ANAB' (pure torch — the PAPA adaptive pools + asymmetric
+    attention run on CPU), still ida_dcnv2=False, imported and compared
+    end-to-end. Covers models/attention.py numerics and the anab/anab_bn
+    importer mapping (ref:model/module/attention.py:120-216)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from m3dssd_tpu.models import build
+    from m3dssd_tpu.utils.synthetic_conf import finalize_conf_synthetic
+    from m3dssd_tpu.utils.torch_import import load_reference_checkpoint
+
+    # feat 16x32 >= the largest PAPA pool size (16): the reference's
+    # AdaptiveAvgPool2d only ever DOWNsamples in the real configs
+    conf = finalize_conf_synthetic(kitti_3d_base().replace(
+        crop_size=[128, 256], test_scale=[128, 256], num_anchor_scales=2,
+        back_bone="dla34", pre_train=False, compute_dtype="float32",
+        ida_dcnv2=False, batch_size=1, attention="ANAB"))
+    A, C = conf.anchors.shape[0], conf.num_classes
+    H, W = conf.feat_size
+
+    m3d = importlib.import_module("model.M3d_inference_align")
+    rconf = ref.edict(
+        device=torch.device("cpu"), lbls=list(conf.lbls),
+        anchors=np.asarray(conf.anchors, np.float64),
+        bbox_means=np.asarray(conf.bbox_means),
+        bbox_stds=np.asarray(conf.bbox_stds), back_bone="dla34",
+        batch_size=1, feat_stride=conf.feat_stride,
+        crop_size=list(conf.crop_size), center_align=False,
+        shape_align=False, ida_dcnv2=False, pre_train=False,
+        attention="ANAB")
+    torch.manual_seed(5)
+    net = m3d.build(rconf, "test")
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.Sequential):
+            mod.register_forward_hook(lambda m, i, out: out.contiguous())
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            gen = torch.Generator().manual_seed(11)
+            mod.running_mean.copy_(
+                torch.randn(mod.running_mean.shape, generator=gen) * 0.1)
+            mod.running_var.copy_(
+                1.0 + torch.rand(mod.running_var.shape, generator=gen))
+
+    sd = net.state_dict()
+    model = build(conf)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, conf.crop_size[0], conf.crop_size[1], 3)),
+                   train=False)
+    params, batch_stats, stats = load_reference_checkpoint(
+        v, sd, num_anchors=A, num_classes=C, block="basic")
+    unmapped = [k for k in stats["unmapped"]
+                if "num_batches_tracked" not in k]
+    assert not unmapped, unmapped[:10]
+    assert not stats["missing"], stats["missing"][:10]
+    assert not stats["shape_mismatch"], stats["shape_mismatch"][:5]
+
+    rng = np.random.default_rng(19)
+    img = rng.normal(0, 1, (1, conf.crop_size[0], conf.crop_size[1], 3)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        rcls, rprob, rb2d, rb3d, _, _ = net(
+            torch.from_numpy(np.transpose(img, (0, 3, 1, 2))))
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      jnp.asarray(img), train=False)
+    perm = _perm_ref_from_ours(H, W, A)
+    ours_prob = np.asarray(out["prob"])[:, perm]
+    ours_b3d = np.transpose(np.asarray(out["bbox_3d"]), (0, 2, 1))[:, perm]
+    np.testing.assert_allclose(ours_prob, rprob.numpy(), rtol=1e-3, atol=1e-4)
+    # z3d is the ANAB-fed tower — the one this gate is about
+    np.testing.assert_allclose(ours_b3d[..., 2], rb3d.numpy()[..., 2],
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(ours_b3d, rb3d.numpy(), rtol=1e-3, atol=2e-3)
