@@ -89,6 +89,11 @@ class Config:
 
     # ----------------------------------------------------------------- solver
     solver_type: str = "sgd"          # sgd | adam | adamax
+    # reference recipe: bs=4 @ lr 0.004 (ref:scripts/config/kitti_3d_base.py
+    # :21-35). When raising batch_size, scale lr AND lr_target linearly —
+    # validated by the round-5 convergence A/B (PERF.md): bs=8 @ lr 0.008
+    # matches or beats the bs=4 recipe per epoch; bs=8 is the measured
+    # throughput sweet spot (TRAINBENCH.json).
     lr: float = 0.004
     momentum: float = 0.9
     weight_decay: float = 0.0005
