@@ -55,6 +55,15 @@ def main():
                         "stream normally)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke tests)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint under <root>/out and "
+                        "continue (epoch numbering/cadence resume from the "
+                        "restored step). Long STREAMING runs on the tunnel "
+                        "host must be segmented this way: the axon plugin "
+                        "leaks every host->device transfer's staging buffer "
+                        "(~24 MB/step at bs=8 — measured, PERF.md round 5), "
+                        "so a multi-hour streaming process eventually OOMs "
+                        "the host; a fresh process resets the leak.")
     args = p.parse_args()
 
     if args.cpu:
@@ -91,6 +100,15 @@ def main():
     out = os.path.join(args.root, "out")
     trainer = Trainer(conf, data_root, out, cache_folder=os.path.join(
         args.root, "cache"))
+
+    if args.resume:
+        from m3dssd_tpu.utils.checkpoint import (latest_step,
+                                                 restore_checkpoint)
+        step = latest_step(os.path.join(out, "weights"))
+        if step:
+            trainer.state = restore_checkpoint(
+                os.path.join(out, "weights"), trainer.state, step)
+            print(f"resumed from step {step}", flush=True)
 
     if args.pool:
         # Pre-draw `pool` batches through the trainer's own loader (same
