@@ -55,6 +55,12 @@ def main():
                         "stream normally)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke tests)")
+    p.add_argument("--stop_epoch", type=int, default=None,
+                   help="stop after this epoch while keeping --epochs as "
+                        "the LR-schedule horizon (conf.max_epoch). Segmented "
+                        "runs must pass the SAME --epochs to every segment "
+                        "and advance only --stop_epoch, or the cosine "
+                        "schedule re-derives per segment.")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint under <root>/out and "
                         "continue (epoch numbering/cadence resume from the "
@@ -146,7 +152,7 @@ def main():
         return sel
 
     trainer._eval = eval_and_record
-    trainer.run()
+    trainer.run(args.stop_epoch)   # None -> conf.max_epoch
 
     # final AP on the TRAINING split (overfit sanity: must be >> val of a
     # random model; NaN-free bf16 training is the actual gate)
