@@ -543,7 +543,7 @@ def _loss_world(ref, seed=5, B=4):
     return world
 
 
-def _ref_loss_conf(ref, w, conf):
+def _ref_loss_conf(ref, w, conf, focal=0.0):
     return ref.edict(
         device=torch.device("cpu"), lbls=list(conf.lbls),
         ilbls=list(conf.ilbls), anchors=w["anchors"].astype(np.float32),
@@ -552,7 +552,7 @@ def _ref_loss_conf(ref, w, conf):
         box_samples=conf.box_samples, ign_thresh=conf.ign_thresh,
         nms_thres=conf.nms_thres, fg_thresh=conf.fg_thresh,
         bg_thresh_lo=conf.bg_thresh_lo, bg_thresh_hi=conf.bg_thresh_hi,
-        best_thresh=conf.best_thresh, hard_negatives=True, focal_loss=0,
+        best_thresh=conf.best_thresh, hard_negatives=True, focal_loss=focal,
         crop_size=list(conf.crop_size), cls_2d_lambda=conf.cls_2d_lambda,
         iou_2d_lambda=conf.iou_2d_lambda, bbox_2d_lambda=conf.bbox_2d_lambda,
         bbox_3d_lambda=conf.bbox_3d_lambda, bbox_3d_proj_lambda=0,
@@ -560,9 +560,12 @@ def _ref_loss_conf(ref, w, conf):
         max_gt_h=conf.max_gt_h)
 
 
-def test_loss_parity(ref):
+@pytest.mark.parametrize("focal", [0.0, 2.0])
+def test_loss_parity(ref, focal):
     """RPN_3D_loss_smp executed on CPU tensors vs losses/rpn_loss.py on the
-    SAME inputs: total loss, every stat, and input gradients."""
+    SAME inputs: total loss, every stat, and input gradients. focal=2.0
+    additionally exercises the (1-p)^gamma reweighting branch
+    (ref:lib/loss/rpn_3d.py:1157-1173, off in stock configs)."""
     import importlib
 
     import jax
@@ -571,12 +574,28 @@ def test_loss_parity(ref):
     from m3dssd_tpu.losses.rpn_loss import RPNLossConfig, rpn_3d_loss
 
     ref_loss_mod = importlib.import_module("lib.loss.rpn_3d")
+    if focal:
+        # torch-2.x incompatibility in the reference's focal branch:
+        # `weights_sum += np.sum(<torch tensor>)` (ref:lib/loss/rpn_3d.py:
+        # 1166,1172 — weights_sum is dead code) dispatches np.sum to
+        # torch.sum(axis=...) which torch rejects. Proxy the module's numpy
+        # with a torch-aware sum; everything else passes through.
+        class _NpShim:
+            def __getattr__(self, k):
+                return getattr(np, k)
+
+            @staticmethod
+            def sum(x, *a, **kw):
+                if isinstance(x, torch.Tensor):
+                    return x.sum()
+                return np.sum(x, *a, **kw)
+        ref_loss_mod.np = _NpShim()
     conf = _parity_conf()
     w = _loss_world(ref)
     B, N, C, perm = w["B"], w["N"], w["C"], w["perm"]
 
     # ---- reference side (ref order) -----------------------------------
-    rconf = _ref_loss_conf(ref, w, conf)
+    rconf = _ref_loss_conf(ref, w, conf, focal=focal)
     criterion = ref_loss_mod.RPN_3D_loss_smp(rconf)
 
     t = lambda x: torch.from_numpy(np.ascontiguousarray(x))
@@ -607,6 +626,7 @@ def test_loss_parity(ref):
         cls_in, prob_full, p2d_in, p3d_in, imobjs,
         torch.tensor([w["H"], w["W"]], dtype=torch.float))
     ref_total.backward()
+    ref_loss_mod.np = np          # undo the focal shim (transparent anyway)
     ref_stats = {f"{s['group']}_{s['name']}": float(s["val"])
                  for s in ref_stats_list}
 
@@ -634,7 +654,7 @@ def test_loss_parity(ref):
         }
         cfg = RPNLossConfig(box_samples=conf.box_samples,
                             fg_fraction=conf.fg_fraction,
-                            channel_major=False)
+                            focal_loss=focal, channel_major=False)
         return rpn_3d_loss(outputs, batch, w["our_rois"], w["anchors"],
                            w["means"], w["stds"], cfg)
 
