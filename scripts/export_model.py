@@ -29,6 +29,12 @@ def main():
     p.add_argument("--packed", action="store_true",
                    help="expect host space-to-depth packed input "
                         "[B, H/2, W/2, 12] (needs conf.stem_s2d)")
+    p.add_argument("--fold_bn", action="store_true",
+                   help="constant-fold frozen BatchNorm into the preceding "
+                        "convs before lowering (utils/fold_bn.py; exact — "
+                        "runtime-neutral on TPU since XLA folds constant BN "
+                        "affines anyway, but shrinks the artifact's op "
+                        "count; PERF.md round 5)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend for the export process")
     args = p.parse_args()
@@ -56,7 +62,8 @@ def main():
     rois = locate_anchors(conf.anchors, conf.feat_size, conf.feat_stride)
     exp = export_detector(conf, rois, model, state.params, state.batch_stats,
                           batch_size=args.batch_size, packed_input=packed,
-                          platforms=args.platforms.split(","))
+                          platforms=args.platforms.split(","),
+                          fold_bn=args.fold_bn)
     save_exported(exp, args.out, conf=conf, batch_size=args.batch_size,
                   packed_input=packed)
     print(f"wrote {args.out} ({os.path.getsize(args.out)/1e6:.1f} MB) "
